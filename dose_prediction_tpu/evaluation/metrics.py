@@ -1,0 +1,216 @@
+"""OpenKBP evaluation metrics — dose score, DVH metrics, IVS.
+
+Numpy implementations are the parity reference (exactly the math of
+DosePrediction/Evaluate/evaluate_openKBP.py); jax variants provide on-device
+equivalents with static shapes for use inside jit (validation loops).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OAR_NAMES = [
+    "Brainstem",
+    "SpinalCord",
+    "RightParotid",
+    "LeftParotid",
+    "Esophagus",
+    "Larynx",
+    "Mandible",
+]
+PTV_NAMES = ["PTV70", "PTV63", "PTV56"]
+STRUCTURE_NAMES = OAR_NAMES + PTV_NAMES
+
+
+# ---------------------------------------------------------------------------
+# numpy parity implementations
+# ---------------------------------------------------------------------------
+
+def dose_score(pred: np.ndarray, gt: np.ndarray, mask: Optional[np.ndarray] = None) -> float:
+    """Mean |pred − gt| inside mask (get_3D_Dose_dif, evaluate_openKBP.py:42-48)."""
+    if mask is not None:
+        pred = pred[mask > 0]
+        gt = gt[mask > 0]
+    return float(np.mean(np.abs(pred - gt)))
+
+
+def ivs(pred: np.ndarray, gt: np.ndarray, isodose_level: float,
+        mask: Optional[np.ndarray] = None) -> float:
+    """Isodose volume similarity: Dice of ≥level regions
+    (IVS, evaluate_openKBP.py:17-39)."""
+    if mask is not None:
+        pred = pred[mask > 0]
+        gt = gt[mask > 0]
+    p = pred >= isodose_level
+    g = gt >= isodose_level
+    denom = p.sum() + g.sum()
+    return float(2.0 * np.sum(p & g) / denom) if denom else float("nan")
+
+
+def ivs_sweep(pred: np.ndarray, gt: np.ndarray, *, max_gy: float = 70.0,
+              n_levels: int = 101, mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """IVS over linspace(0, 70, 101) levels (train-time sweep,
+    evaluate_openKBP.py:163-168)."""
+    levels = np.linspace(0.0, max_gy, n_levels)
+    return np.array([ivs(pred, gt, lv, mask) for lv in levels])
+
+
+def dvh_metrics(dose: np.ndarray, mask: np.ndarray, *, mode: str,
+                spacing: Optional[Sequence[float]] = None) -> Dict[str, float]:
+    """DVH feature extraction (get_DVH_metrics, evaluate_openKBP.py:51-81).
+
+    target (PTV): D1/D95/D99 via percentiles 99/5/1, plus Dmean.
+    OAR: D_0.1_cc via a voxel-size-aware percentile, plus Dmean.
+    """
+    roi = dose[mask > 0]
+    out: Dict[str, float] = {}
+    if mode == "target":
+        out["D1"] = float(np.percentile(roi, 99))
+        out["D95"] = float(np.percentile(roi, 5))
+        out["D99"] = float(np.percentile(roi, 1))
+        out["mean"] = float(np.mean(roi))
+    elif mode == "OAR":
+        if spacing is None:
+            raise ValueError("OAR DVH metrics need voxel spacing")
+        voxel_size = float(np.prod(spacing))
+        voxels_in_tenth_cc = np.maximum(1, np.round(100.0 / voxel_size))
+        frac = 100.0 - voxels_in_tenth_cc / len(roi) * 100.0
+        out["D_0.1_cc"] = float(np.percentile(roi, frac))
+        out["mean"] = float(np.mean(roi))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return out
+
+
+def dvh_score_for_patient(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    structures: Dict[str, np.ndarray],
+    spacing: Sequence[float],
+) -> Dict[str, object]:
+    """Per-patient DVH differences over the 10 OpenKBP structures
+    (get_Dose_score_and_DVH_score_batch, evaluate_openKBP.py:149-222).
+
+    Returns dict with 'dvh_dif' (mean |Δmetric|), plus per-structure
+    pred/gt metric values.
+    """
+    difs: List[float] = []
+    detail: Dict[str, float] = {}
+    for name in STRUCTURE_NAMES:
+        struct = structures.get(name)
+        if struct is None or not np.any(struct):
+            continue
+        mode = "target" if "PTV" in name else "OAR"
+        pred_m = dvh_metrics(pred, struct, mode=mode, spacing=spacing)
+        gt_m = dvh_metrics(gt, struct, mode=mode, spacing=spacing)
+        for metric in gt_m:
+            difs.append(abs(gt_m[metric] - pred_m[metric]))
+            detail[f"pre{name}_{metric}"] = pred_m[metric]
+            detail[f"gt_{name}_{metric}"] = gt_m[metric]
+    return {"dvh_dif": float(np.mean(difs)) if difs else float("nan"), "detail": detail}
+
+
+def postprocess_prediction(pred: np.ndarray, mask: np.ndarray, *, scale: float = 70.0) -> np.ndarray:
+    """Reference post-process (train_light_pyfer.py:169-173,210-212): zero the
+    prediction outside the possible-dose mask and where negative, then ×70 Gy."""
+    out = pred.copy()
+    out[np.logical_or(mask < 1, out < 0)] = 0
+    return scale * out
+
+
+# ---------------------------------------------------------------------------
+# segmentation metrics (Dice / HD95, MONAI semantics)
+# ---------------------------------------------------------------------------
+
+def dice_coefficient(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Binary Dice; NaN when both empty (MONAI DiceMetric get_not_nans=False)."""
+    p = pred > 0
+    g = gt > 0
+    denom = p.sum() + g.sum()
+    if denom == 0:
+        return float("nan")
+    return float(2.0 * np.sum(p & g) / denom)
+
+
+def hausdorff95(pred: np.ndarray, gt: np.ndarray,
+                spacing: Optional[Sequence[float]] = None) -> float:
+    """95th-percentile symmetric Hausdorff distance over surface voxels
+    (MONAI HausdorffDistanceMetric(percentile=95), train_light_transeg.py:149-165)."""
+    from scipy import ndimage
+
+    p = pred > 0
+    g = gt > 0
+    if not p.any() or not g.any():
+        return float("nan")
+    # surface = set minus erosion
+    p_surf = p ^ ndimage.binary_erosion(p)
+    g_surf = g ^ ndimage.binary_erosion(g)
+    sampling = None if spacing is None else tuple(spacing)
+    # distance from every voxel to the nearest surface voxel of the other set
+    dt_g = ndimage.distance_transform_edt(~g_surf, sampling=sampling)
+    dt_p = ndimage.distance_transform_edt(~p_surf, sampling=sampling)
+    d_pg = dt_g[p_surf]
+    d_gp = dt_p[g_surf]
+    return float(max(np.percentile(d_pg, 95), np.percentile(d_gp, 95)))
+
+
+def seg_metrics_per_class(pred_labels: np.ndarray, gt_labels: np.ndarray,
+                          num_classes: int,
+                          spacing: Optional[Sequence[float]] = None,
+                          include_background: bool = False):
+    """Per-class Dice + HD95 from integer label maps (argmax outputs)."""
+    start = 0 if include_background else 1
+    dices, hds = [], []
+    for c in range(start, num_classes):
+        p = pred_labels == c
+        g = gt_labels == c
+        dices.append(dice_coefficient(p, g))
+        hds.append(hausdorff95(p, g, spacing))
+    return np.array(dices), np.array(hds)
+
+
+# ---------------------------------------------------------------------------
+# jax on-device variants (static shapes; usable inside jit)
+# ---------------------------------------------------------------------------
+
+def dose_score_jax(pred: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
+    m = (mask > 0).astype(jnp.float32)
+    num = jnp.sum(jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32)) * m)
+    return num / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def postprocess_prediction_jax(pred: jax.Array, mask: jax.Array, *, scale: float = 70.0) -> jax.Array:
+    keep = jnp.logical_and(mask >= 1, pred >= 0)
+    return scale * jnp.where(keep, pred, 0.0)
+
+
+def masked_percentile_jax(values: jax.Array, mask: jax.Array, q: jax.Array) -> jax.Array:
+    """np.percentile(values[mask>0], q) with static shapes: sort with masked
+    voxels pushed to +inf, then linear-interpolate at the masked count."""
+    v = values.reshape(-1).astype(jnp.float32)
+    m = (mask.reshape(-1) > 0)
+    n = jnp.sum(m.astype(jnp.int32))
+    v_sorted = jnp.sort(jnp.where(m, v, jnp.inf))
+    q = jnp.asarray(q, jnp.float32)
+    pos = q / 100.0 * (n.astype(jnp.float32) - 1.0)
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, v.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, v.shape[0] - 1)
+    frac = pos - lo.astype(jnp.float32)
+    val_lo = v_sorted[lo]
+    val_hi = jnp.where(hi < n, v_sorted[hi], val_lo)
+    return val_lo + frac * (val_hi - val_lo)
+
+
+def ivs_sweep_jax(pred: jax.Array, gt: jax.Array, *, max_gy: float = 70.0,
+                  n_levels: int = 101) -> jax.Array:
+    """Vectorized IVS sweep on device: one pass over 101 thresholds."""
+    levels = jnp.linspace(0.0, max_gy, n_levels).reshape(-1, 1)
+    p = pred.reshape(1, -1).astype(jnp.float32) >= levels
+    g = gt.reshape(1, -1).astype(jnp.float32) >= levels
+    inter = jnp.sum(p & g, axis=1).astype(jnp.float32)
+    denom = (jnp.sum(p, axis=1) + jnp.sum(g, axis=1)).astype(jnp.float32)
+    return 2.0 * inter / jnp.maximum(denom, 1.0)

@@ -1,0 +1,76 @@
+"""OAR-TranSeg — multi-organ segmentation (UNETR variant with multi-scale
+conv decoders).
+
+Parity target: OARSegmentation/Models/Networks/oar_transeg.py:14-185 — MONAI
+ViT (12 layers, hidden-state taps at indices 3/6/9), UnetrBasicBlock +
+UnetrPrUpBlock encoders, ModifiedUnetrUpBlock decoders (default act='relu',
+multiS_conv=True), 1×1 ModifiedUnetOutBlock head. Default out_channels =
+7 OARs + background = 8 (test(), oar_transeg.py:192).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from dose_prediction_tpu.nn.unetr import (
+    ModifiedUnetOutBlock,
+    ModifiedUnetrUpBlock,
+    UnetrBasicBlock,
+    UnetrPrUpBlock,
+)
+from dose_prediction_tpu.nn.vit import ViT3D, unpatchify_tokens
+
+
+class TranSeg(fnn.Module):
+    out_ch: int = 8
+    feature_size: int = 16
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    num_layers: int = 12
+    pos_embed: str = "perceptron"
+    norm: str = "instance"
+    patch_size: int = 16
+    act: str = "relu"
+    multiS_conv: bool = True
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True) -> jax.Array:
+        n, d, h, w, _ = x.shape
+        grid = (d // self.patch_size, h // self.patch_size, w // self.patch_size)
+        fs = self.feature_size
+        z_final, hidden = ViT3D(
+            hidden_size=self.hidden_size,
+            mlp_dim=self.mlp_dim,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            patch_size=self.patch_size,
+            pos_embed=self.pos_embed,
+            dtype=self.dtype,
+            name="vit",
+        )(x)
+        enc1 = UnetrBasicBlock(fs, norm=self.norm, dtype=self.dtype, name="encoder1")(x)
+        enc2 = UnetrPrUpBlock(fs * 2, num_layer=2, norm=self.norm, dtype=self.dtype, name="encoder2")(
+            unpatchify_tokens(hidden[3], grid)
+        )
+        enc3 = UnetrPrUpBlock(fs * 4, num_layer=1, norm=self.norm, dtype=self.dtype, name="encoder3")(
+            unpatchify_tokens(hidden[6], grid)
+        )
+        enc4 = UnetrPrUpBlock(fs * 8, num_layer=0, norm=self.norm, dtype=self.dtype, name="encoder4")(
+            unpatchify_tokens(hidden[9], grid)
+        )
+        dec4 = unpatchify_tokens(z_final, grid)
+        dec3 = ModifiedUnetrUpBlock(fs * 8, act=self.act, multiS_conv=self.multiS_conv,
+                                    dtype=self.dtype, name="decoder5")(dec4, enc4, train)
+        dec2 = ModifiedUnetrUpBlock(fs * 4, act=self.act, multiS_conv=self.multiS_conv,
+                                    dtype=self.dtype, name="decoder4")(dec3, enc3, train)
+        dec1 = ModifiedUnetrUpBlock(fs * 2, act=self.act, multiS_conv=self.multiS_conv,
+                                    dtype=self.dtype, name="decoder3")(dec2, enc2, train)
+        out = ModifiedUnetrUpBlock(fs, act=self.act, multiS_conv=self.multiS_conv,
+                                   dtype=self.dtype, name="decoder2")(dec1, enc1, train)
+        return ModifiedUnetOutBlock(self.out_ch, dtype=self.dtype, name="out")(out)
