@@ -1,0 +1,83 @@
+"""Benchmark: end-to-end 128³ cascade inference on one TPU chip.
+
+The north-star metric (BASELINE.md): full-patient cascade — sliding-window
+OAR-TranSeg over the CT (96³ ROI, sw_batch 4) → one-hot OARs → concat →
+DOSE-PYFER dose map → masked ×70 post-process — as one jit program, p50
+latency per patient. Baseline target: 1.0 s/chip on v5e ⇒
+vs_baseline = baseline_p50 / measured_p50 (higher is better).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_P50_S = 1.0  # north-star: <1 s per 128^3 patient per chip (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+
+    # Persistent compilation cache: the cascade graph contains hundreds of
+    # distinct 3D convs whose XLA-TPU compiles dominate cold-start (~40 min);
+    # with the cache, recompiles are O(seconds).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.infer.cascade import make_cascade_fn
+    from dose_prediction_tpu.models import DosePyfer, TranSeg
+
+    dtype = jnp.bfloat16
+    seg = TranSeg(out_ch=8, dtype=dtype)          # full-size: 12-layer ViT-768
+    dose = DosePyfer(dtype=dtype)                 # full-size: 8-layer ViT-768 cascade
+
+    key = jax.random.PRNGKey(0)
+    ct = jax.random.normal(key, (1, 128, 128, 128, 1), dtype)
+    ptv = (jax.random.uniform(key, (1, 128, 128, 128, 1)) < 0.05).astype(dtype)
+    mask = (jax.random.uniform(key, (1, 128, 128, 128, 1)) < 0.6).astype(dtype)
+
+    seg_vars = jax.jit(seg.init)(jax.random.PRNGKey(1), jnp.zeros((1, 96, 96, 96, 1), dtype))
+    dose_vars = jax.jit(dose.init)(jax.random.PRNGKey(2), jnp.zeros((1, 128, 128, 128, 9), dtype))
+
+    run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                          roi_size=(96, 96, 96), sw_batch_size=4)
+
+    t0 = time.perf_counter()
+    out = run(ct, ptv, mask)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    n_iters = 20
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        out = run(ct, ptv, mask)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(times, 50))
+    p90 = float(np.percentile(times, 90))
+
+    result = {
+        "metric": "cascade_128_p50_latency",
+        "value": round(p50, 6),
+        "unit": "s/patient",
+        "vs_baseline": round(BASELINE_P50_S / p50, 3),
+        "p90_s": round(p90, 6),
+        "volumes_per_sec_per_chip": round(1.0 / p50, 3),
+        "compile_s": round(compile_s, 1),
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

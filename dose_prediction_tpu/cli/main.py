@@ -1,0 +1,205 @@
+"""Unified CLI — the layer the reference never had (SURVEY.md §1: every entry
+point is a hand-edited ``if __name__ == '__main__'`` with placeholder paths).
+
+    python -m dose_prediction_tpu train pyfer --data 'path/pt_*' ...
+    python -m dose_prediction_tpu train transeg ...
+    python -m dose_prediction_tpu eval  --data ... --ckpt ...
+    python -m dose_prediction_tpu infer --ct ... --ptv ...    (linked cascade)
+    python -m dose_prediction_tpu tune  --num-samples 10
+    python -m dose_prediction_tpu kfold --folds 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data", required=True, help="glob for patient dirs, e.g. 'data/pt_*'")
+    p.add_argument("--val-data", default=None)
+    p.add_argument("--size", type=int, default=None, help="limit #patients")
+    p.add_argument("--epochs", type=int, default=1300)
+    p.add_argument("--check-val", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.0006130697604327541)
+    p.add_argument("--weight-decay", type=float, default=0.00016303111017674179)
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--log-dir", default="logs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="dose_prediction_tpu",
+                                 description="TPU-native dose prediction framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    tr = sub.add_parser("train", help="train a model")
+    tr.add_argument("model", choices=["pyfer", "c3d", "hdunet", "transeg", "dosegan"])
+    _add_common(tr)
+    tr.add_argument("--pretrained-c3d", default=None,
+                    help="checkpoint dir of a trained C3D cascade (net_A surgery)")
+    tr.add_argument("--no-freeze", action="store_true")
+    tr.add_argument("--delta1", type=float, default=10.0)
+    tr.add_argument("--delta2", type=float, default=8.0)
+
+    ev = sub.add_parser("eval", help="OpenKBP scoring sweep")
+    _add_common(ev)
+    ev.add_argument("--ckpt", required=True)
+    ev.add_argument("--plots-dir", default=None)
+
+    inf = sub.add_parser("infer", help="linked cascade inference on one patient")
+    inf.add_argument("--patient", required=True, help="patient directory")
+    inf.add_argument("--seg-ckpt", required=True)
+    inf.add_argument("--dose-ckpt", required=True)
+    inf.add_argument("--out", required=True, help="output dose .nii.gz")
+
+    tu = sub.add_parser("tune", help="ASHA hyperparameter search")
+    _add_common(tu)
+    tu.add_argument("--num-samples", type=int, default=10)
+
+    kf = sub.add_parser("kfold", help="k-fold cross validation")
+    _add_common(kf)
+    kf.add_argument("--folds", type=int, default=6)
+    kf.add_argument("--start-fold", type=int, default=0)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # lazy imports: CLI help must not pull in jax
+    from dose_prediction_tpu.data.openkbp import OpenKBPDataset
+    from dose_prediction_tpu.train.trainers import (
+        CascadeC3DTrainer,
+        DoseGANTrainer,
+        HDUNetTrainer,
+        PyferTrainer,
+        TrainConfig,
+        TranSegTrainer,
+    )
+
+    def make_cfg() -> TrainConfig:
+        return TrainConfig(
+            max_epochs=args.epochs, check_val=args.check_val,
+            batch_size=args.batch_size, learning_rate=args.lr,
+            weight_decay=args.weight_decay, ckpt_dir=args.ckpt_dir,
+            log_dir=args.log_dir, seed=args.seed, max_steps=args.max_steps,
+            delta1=getattr(args, "delta1", 10.0), delta2=getattr(args, "delta2", 8.0),
+            freeze_net_a=not getattr(args, "no_freeze", False),
+        )
+
+    if args.cmd == "train":
+        train_ds = OpenKBPDataset(args.data, size=args.size)
+        val_ds = OpenKBPDataset(args.val_data, keep_structures=True) if args.val_data else None
+        cfg = make_cfg()
+        if args.model == "pyfer":
+            pre = None
+            if args.pretrained_c3d:
+                from dose_prediction_tpu.core.checkpoint import restore_checkpoint
+                pre = restore_checkpoint(args.pretrained_c3d)
+                pre = pre.get("state", pre).get("params", pre)
+            trainer = PyferTrainer(cfg, pretrained_c3d_params=pre)
+        elif args.model == "c3d":
+            trainer = CascadeC3DTrainer(cfg)
+        elif args.model == "hdunet":
+            trainer = HDUNetTrainer(cfg)
+        elif args.model == "transeg":
+            trainer = TranSegTrainer(cfg)
+        else:
+            trainer = DoseGANTrainer(cfg)
+        trainer.fit(train_ds, val_ds) if args.model != "dosegan" else trainer.fit(train_ds)
+        return 0
+
+    if args.cmd == "eval":
+        from dose_prediction_tpu.core.checkpoint import restore_checkpoint
+        ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
+        cfg = make_cfg()
+        trainer = PyferTrainer(cfg)
+        restored = restore_checkpoint(args.ckpt, {"state": trainer.state, "epoch": 0})
+        trainer.state = restored["state"]
+        results = trainer.test(ds)
+        print(json.dumps({k: v for k, v in results.items() if k != "per_patient"}, indent=2))
+        if args.plots_dir:
+            from dose_prediction_tpu.evaluation.plots import plot_dvh
+            import jax.numpy as jnp
+            import numpy as np
+            for p in ds.patients:
+                batch = {"input": jnp.asarray(p.model_input[None]),
+                         "gt": jnp.asarray(p.gt[None])}
+                pred = np.asarray(trainer.eval_step(trainer.state, batch)["prediction"])[0, ..., 0]
+                plot_dvh(pred, p.real_dose, p.structures,
+                         Path(args.plots_dir) / f"dvh_{p.patient_id}.png")
+        return 0
+
+    if args.cmd == "infer":
+        import jax.numpy as jnp
+        import numpy as np
+        from dose_prediction_tpu.core.checkpoint import restore_checkpoint
+        from dose_prediction_tpu.data.nifti import write_nifti
+        from dose_prediction_tpu.data.openkbp import load_patient
+        from dose_prediction_tpu.infer.cascade import make_cascade_fn
+        from dose_prediction_tpu.models import DosePyfer, TranSeg
+
+        p = load_patient(args.patient)
+        seg = TranSeg()
+        dose = DosePyfer()
+        seg_vars = restore_checkpoint(args.seg_ckpt)
+        dose_vars = restore_checkpoint(args.dose_ckpt)
+        run = make_cascade_fn(seg, seg_vars, dose, dose_vars)
+        out = run(jnp.asarray(p.ct[None, ..., None]),
+                  jnp.asarray(p.ptv[None, ..., None]),
+                  jnp.asarray(p.dose_mask[None, ..., None]))
+        write_nifti(args.out, np.asarray(out)[0, ..., 0], spacing=p.spacing)
+        print(f"wrote {args.out}")
+        return 0
+
+    if args.cmd == "tune":
+        from dose_prediction_tpu.models import DosePyfer
+        from dose_prediction_tpu.train.tune import run_search
+
+        train_ds = OpenKBPDataset(args.data, size=args.size)
+        val_ds = OpenKBPDataset(args.val_data, size=args.size) if args.val_data else train_ds
+
+        def train_trial(config, report):
+            cfg = make_cfg()
+            cfg = type(cfg)(**{**cfg.__dict__,
+                               "learning_rate": config["lr"],
+                               "weight_decay": config["weight_decay"],
+                               "max_epochs": args.epochs})
+            model = DosePyfer(act=config["act"], multiS_conv=config["multiS_conv"])
+            trainer = PyferTrainer(cfg, model=model)
+            trainer.fit(train_ds, val_ds, resume=False)
+            return -trainer.best_val  # minimize dose score
+
+        res = run_search(train_trial, num_samples=args.num_samples,
+                         out_dir=args.log_dir)
+        print(json.dumps({"best_config": res["best_config"],
+                          "best_value": res["best_value"]}, indent=2, default=str))
+        return 0
+
+    if args.cmd == "kfold":
+        from dose_prediction_tpu.train.kfold import run_kfold
+
+        ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
+
+        def make_trainer(fold, ckpt_dir):
+            cfg = make_cfg()
+            cfg = type(cfg)(**{**cfg.__dict__, "ckpt_dir": ckpt_dir})
+            return PyferTrainer(cfg)
+
+        results = run_kfold(ds, make_trainer, n_folds=args.folds,
+                            start_fold=args.start_fold, base_dir=args.ckpt_dir)
+        print(json.dumps({f: {"mean_dose_score": r.get("mean_dose_score")}
+                          for f, r in results.items()}, indent=2))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,170 @@
+"""Checkpointing + cross-model weight surgery (orbax-backed).
+
+Replaces the reference's two mechanisms (SURVEY.md §5.4):
+- pickle checkpoints of network/optimizer/scheduler/log
+  (NetworkTrainer.save_trainer, network_trainer.py:340-357);
+- Lightning ModelCheckpoint last/best files.
+
+And the *partial restore* behaviors that the cascade workflow depends on:
+- load a pretrained C3D net_A into DOSE-PYFER, keeping only keys that exist
+  in the target and only the net_A/conv_out_A subtrees
+  (create_pretrained_unet, dose_pyfer.py:363-407, c3d.py:200-203);
+- prefix-strip + shape-match filtering for seg checkpoints
+  (train_light_transeg.py:126-146).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+# ---------------------------------------------------------------------------
+# orbax save / restore
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str | Path, tree: Any, *, force: bool = True) -> None:
+    """Save an arbitrary pytree (train state, params, metrics) to ``path``."""
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=force)
+
+
+def restore_checkpoint(path: str | Path, target: Optional[Any] = None) -> Any:
+    """Restore a pytree; with ``target`` the result matches its structure,
+    dtypes and shardings."""
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if target is None:
+            return ckptr.restore(path)
+        return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=target))
+
+
+class CheckpointManager:
+    """latest/best-k rotation (ModelCheckpoint(save_last, monitor) parity,
+    train_light_pyfer.py:307-312)."""
+
+    def __init__(self, directory: str | Path, *, max_to_keep: int = 3,
+                 monitor: str = "dose_score", mode: str = "max"):
+        directory = Path(directory).absolute()
+        directory.mkdir(parents=True, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda m: m[monitor],
+            best_mode=mode,
+        )
+        self._mgr = ocp.CheckpointManager(directory, options=options)
+
+    def save(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
+        self._mgr.save(step, args=ocp.args.PyTreeSave(tree), metrics=metrics)
+        self._mgr.wait_until_finished()
+
+    def restore_latest(self, target: Optional[Any] = None) -> Tuple[Optional[int], Any]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        args = ocp.args.PyTreeRestore(item=target) if target is not None else None
+        return step, self._mgr.restore(step, args=args)
+
+    def restore_best(self, target: Optional[Any] = None) -> Tuple[Optional[int], Any]:
+        step = self._mgr.best_step()
+        if step is None:
+            return None, None
+        args = ocp.args.PyTreeRestore(item=target) if target is not None else None
+        return step, self._mgr.restore(step, args=args)
+
+    def close(self):
+        self._mgr.close()
+
+
+# ---------------------------------------------------------------------------
+# weight surgery
+# ---------------------------------------------------------------------------
+
+def flatten_params(tree: Any) -> Dict[Tuple[str, ...], Any]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    out = {}
+    for path, leaf in flat:
+        out[tuple(getattr(p, "key", str(p)) for p in path)] = leaf
+    return out
+
+
+def merge_partial(
+    target: Any,
+    source: Any,
+    *,
+    keep_if: Optional[Callable[[Tuple[str, ...]], bool]] = None,
+    require_shape_match: bool = True,
+    verbose: bool = True,
+) -> Tuple[Any, Dict[str, int]]:
+    """strict=False partial restore: copy every source leaf whose path exists
+    in the target (optionally filtered by ``keep_if`` and by shape equality),
+    leaving the rest of the target untouched.
+
+    Returns (merged_tree, stats) where stats reports missing/inside/unused
+    counts — the same bookkeeping the reference prints
+    (dose_pyfer.py:396-401)."""
+    tgt_flat = flatten_params(target)
+    src_flat = flatten_params(source)
+
+    inside = [k for k in src_flat if k in tgt_flat]
+    unused = [k for k in src_flat if k not in tgt_flat]
+    missing = [k for k in tgt_flat if k not in src_flat]
+
+    merged = dict(tgt_flat)
+    copied = 0
+    for k in inside:
+        if keep_if is not None and not keep_if(k):
+            continue
+        if require_shape_match and tuple(np.shape(src_flat[k])) != tuple(np.shape(tgt_flat[k])):
+            continue
+        merged[k] = src_flat[k]
+        copied += 1
+
+    stats = {"missing": len(missing), "inside": len(inside),
+             "unused": len(unused), "copied": copied}
+    if verbose:
+        print(f"[surgery] missing={stats['missing']} inside={stats['inside']} "
+              f"unused={stats['unused']} copied={stats['copied']}")
+
+    treedef = jax.tree_util.tree_structure(target)
+    leaves_by_path = merged
+    ordered = [leaves_by_path[k] for k in flatten_params(target).keys()]
+    return jax.tree_util.tree_unflatten(treedef, ordered), stats
+
+
+def load_pretrained_net_a(cascade_params: Any, c3d_params: Any,
+                          *, verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """create_pretrained_unet semantics (c3d.py:200-203 filter →
+    dose_pyfer.py:405-406 strict=False load): copy only net_A / conv_out_A
+    subtrees from a trained C3D cascade into a target cascade."""
+    return merge_partial(
+        cascade_params,
+        c3d_params,
+        keep_if=lambda keys: any(k in ("net_A", "conv_out_A") for k in keys),
+        verbose=verbose,
+    )
+
+
+def strip_prefix(tree: Any, prefix: str) -> Any:
+    """Checkpoint-key prefix strip (train_light_transeg.py:130: '_model.' →
+    ''): drop a leading path component when present."""
+    flat = flatten_params(tree)
+    out: Dict[Tuple[str, ...], Any] = {}
+    for path, leaf in flat.items():
+        if path and path[0] == prefix:
+            path = path[1:]
+        out[path] = leaf
+    # rebuild nested dict
+    nested: Dict = {}
+    for path, leaf in out.items():
+        node = nested
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = leaf
+    return nested

@@ -1,0 +1,113 @@
+"""Host→HBM training feed: shuffled epochs, host-side augmentation in worker
+threads, and double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader(+ CacheDataset workers + pin_memory)
+stack (train_light_pyfer.py:37-43): preprocessing is already cached in RAM
+(OpenKBPDataset); this module only does per-step augmentation and the
+host→device copy, overlapped with compute via a 2-deep prefetch queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from dose_prediction_tpu.data.openkbp import OpenKBPDataset, Patient
+from dose_prediction_tpu.data.transforms import augment_dose_sample, augment_seg_sample
+
+
+def dose_batches(
+    dataset: OpenKBPDataset,
+    *,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    augment: bool = True,
+    seed: int = 0,
+    drop_last: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """One epoch of {'input': (N,D,H,W,9), 'gt': (N,D,H,W,2)} batches."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        inputs, gts = [], []
+        for j in idx:
+            p = dataset[int(j)]
+            inp, gt = p.model_input, p.gt
+            if augment:
+                inp, gt = augment_dose_sample(inp, gt, rng)
+            inputs.append(inp)
+            gts.append(gt)
+        yield {"input": np.stack(inputs), "gt": np.stack(gts)}
+
+
+def seg_batches(
+    dataset: OpenKBPDataset,
+    *,
+    crop: Sequence[int] = (96, 96, 96),
+    num_samples: int = 4,
+    batch_size: int = 4,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Seg epochs: pos/neg crops ×num_samples per patient, batched
+    ({'ct': (N,*crop,1), 'labels': (N,*crop) int32})."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    buf_ct: List[np.ndarray] = []
+    buf_lab: List[np.ndarray] = []
+    for j in order:
+        p = dataset[int(j)]
+        for cvol, clab in augment_seg_sample(p.ct, p.oars_label_encoded.astype(np.float32),
+                                             rng, crop=crop, num_samples=num_samples):
+            buf_ct.append(cvol[..., None])
+            buf_lab.append(clab.astype(np.int32))
+            if len(buf_ct) == batch_size:
+                yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
+                buf_ct, buf_lab = [], []
+    if buf_ct:
+        yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
+
+
+def device_prefetch(iterator: Iterator, *, size: int = 2,
+                    sharding=None) -> Iterator:
+    """Run the host iterator in a thread and keep ``size`` batches resident on
+    device ahead of compute (the pin_memory/prefetch analogue; H2D overlaps
+    the previous step's compute)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        except BaseException as e:  # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

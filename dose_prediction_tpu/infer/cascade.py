@@ -1,0 +1,68 @@
+"""End-to-end linked cascade: CT → sliding-window OAR segmentation → one-hot
+masks → concat(PTV, OARs, CT) → DOSE-PYFER dose map — as ONE jit program.
+
+Parity target: LinkedNet.test_step (train_light_linked_model.py:138-176),
+which round-trips through the CPU between every stage (.cpu() at :150,169).
+Here the seg sweep, argmax/one-hot, concat, dose forward, and ×70 masked
+post-process all stay in HBM.
+
+Note on axis permutes: the reference applies (0,3,2,1)/(0,1,4,3,2) permutes
+between stages (:157-165) to undo inconsistent transposes between its two
+dataloaders; this framework's loader uses one consistent RAS layout for both
+tasks, so no permutes are needed (deviation documented, not a behavior gap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from dose_prediction_tpu.evaluation.metrics import postprocess_prediction_jax
+from dose_prediction_tpu.infer.sliding_window import sliding_window_inference
+
+
+def make_cascade_fn(
+    seg_model,
+    seg_variables,
+    dose_model,
+    dose_variables,
+    *,
+    num_oar_classes: int = 8,
+    roi_size: Sequence[int] = (96, 96, 96),
+    sw_batch_size: int = 4,
+    overlap: float = 0.25,
+    dose_scale: float = 70.0,
+) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Build the linked inference program.
+
+    Returns ``run(ct, ptv, dose_mask) -> dose_gy`` where
+        ct, ptv, dose_mask: ``(1, D, H, W, 1)``;
+        dose_gy: ``(1, D, H, W, 1)`` in Gy, masked and clamped like the
+        reference post-process (:171-173).
+    """
+
+    def seg_predictor(windows):
+        logits, _ = seg_model.apply(seg_variables, windows, train=False,
+                                    mutable=["batch_stats"])
+        return logits
+
+    @jax.jit
+    def run(ct: jax.Array, ptv: jax.Array, dose_mask: jax.Array) -> jax.Array:
+        # stage 1: sliding-window segmentation over the full CT (:152-154)
+        logits = sliding_window_inference(
+            ct, seg_predictor, roi_size=roi_size, sw_batch_size=sw_batch_size,
+            overlap=overlap, out_channels=num_oar_classes)
+        labels = jnp.argmax(logits, axis=-1)
+        # one-hot, drop background channel (:157-160)
+        oars = jax.nn.one_hot(labels, num_oar_classes, dtype=ct.dtype)[..., 1:]
+        # stage 2: 9-channel dose input = (PTV, 7 OARs, CT) (:167)
+        structures = jnp.concatenate([ptv, oars, ct], axis=-1)
+        (pred_a, preds_b), _ = dose_model.apply(
+            dose_variables, structures, train=False, mutable=["batch_stats"])
+        pred = preds_b[0]
+        # mask out-of-region and negative voxels, scale to Gy (:171-173)
+        return postprocess_prediction_jax(pred, dose_mask, scale=dose_scale)
+
+    return run

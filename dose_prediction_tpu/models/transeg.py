@@ -54,15 +54,18 @@ class TranSeg(fnn.Module):
             dtype=self.dtype,
             name="vit",
         )(x)
+        # hidden-state taps: indices 3/6/9 for the reference's fixed 12 layers
+        # (oar_transeg.py:174-179); generalized as num_layers//4 multiples.
+        i = self.num_layers // 4
         enc1 = UnetrBasicBlock(fs, norm=self.norm, dtype=self.dtype, name="encoder1")(x)
         enc2 = UnetrPrUpBlock(fs * 2, num_layer=2, norm=self.norm, dtype=self.dtype, name="encoder2")(
-            unpatchify_tokens(hidden[3], grid)
+            unpatchify_tokens(hidden[i], grid)
         )
         enc3 = UnetrPrUpBlock(fs * 4, num_layer=1, norm=self.norm, dtype=self.dtype, name="encoder3")(
-            unpatchify_tokens(hidden[6], grid)
+            unpatchify_tokens(hidden[i * 2], grid)
         )
         enc4 = UnetrPrUpBlock(fs * 8, num_layer=0, norm=self.norm, dtype=self.dtype, name="encoder4")(
-            unpatchify_tokens(hidden[9], grid)
+            unpatchify_tokens(hidden[i * 3], grid)
         )
         dec4 = unpatchify_tokens(z_final, grid)
         dec3 = ModifiedUnetrUpBlock(fs * 8, act=self.act, multiS_conv=self.multiS_conv,

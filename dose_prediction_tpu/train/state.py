@@ -1,0 +1,151 @@
+"""Train state, optimizers, freeze masks, and LR schedules.
+
+Replaces the reference's NetworkTrainer/Lightning optimizer plumbing
+(NetworkTrainer/network_trainer.py:107-153, train_light_pyfer.py:194-197)
+with optax. Freezing net_A (train_light_pyfer.py:85-88) becomes an
+optax.multi_transform whose labels are derived from parameter paths —
+the same subtree surface a torch ``requires_grad=False`` loop touches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # EMA of the train loss (eps 0.01, network_trainer.py:162-168)
+    moving_loss: jnp.ndarray
+
+
+def create_train_state(variables: Dict, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        moving_loss=jnp.array(jnp.nan, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# freeze masks
+# ---------------------------------------------------------------------------
+
+def label_params_by_path(
+    params: Any, frozen_if: Callable[[Tuple[str, ...]], bool]
+) -> Any:
+    """Label each param leaf 'frozen' / 'trainable' from its key path."""
+
+    def label(path, _leaf):
+        keys = tuple(getattr(p, "key", str(p)) for p in path)
+        return "frozen" if frozen_if(keys) else "trainable"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def cascade_freeze_labels(params: Any) -> Any:
+    """Freeze the pretrained cascade stage: any path under net_A or conv_out_A
+    (train_light_pyfer.py:85-88)."""
+    return label_params_by_path(
+        params, lambda keys: any(k in ("net_A", "conv_out_A") for k in keys)
+    )
+
+
+def make_optimizer(
+    *,
+    learning_rate: float | optax.Schedule,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    freeze_labels: Optional[Any] = None,
+    grad_clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """Adam with decoupled weight decay applied torch-style.
+
+    The reference's Adam8bit(weight_decay=wd) (bnb semantics = torch AdamW-style
+    decoupled decay) maps to optax.adamw. With ``freeze_labels`` the frozen
+    subtree gets zero updates (optax.set_to_zero), exactly mirroring
+    requires_grad=False.
+    """
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    if weight_decay:
+        chain.append(optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay))
+    else:
+        chain.append(optax.adam(learning_rate, b1=b1, b2=b2, eps=eps))
+    tx = optax.chain(*chain)
+    if freeze_labels is not None:
+        tx = optax.multi_transform(
+            {"trainable": tx, "frozen": optax.set_to_zero()}, freeze_labels
+        )
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (NetworkTrainer.set_lr_scheduler parity, network_trainer.py:127-153)
+# ---------------------------------------------------------------------------
+
+def multistep_schedule(base_lr: float, milestones: Sequence[int], gamma: float = 0.1) -> optax.Schedule:
+    """torch MultiStepLR: multiply by gamma at each milestone step."""
+    boundaries = {int(m): gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def cosine_schedule(base_lr: float, t_max: int, eta_min: float = 0.0) -> optax.Schedule:
+    """torch CosineAnnealingLR over t_max steps."""
+
+    def sched(step):
+        t = jnp.clip(step, 0, t_max).astype(jnp.float32)
+        return eta_min + 0.5 * (base_lr - eta_min) * (1 + jnp.cos(jnp.pi * t / t_max))
+
+    return sched
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler (torch semantics: factor, patience, min on
+    the monitored value). Produces a scale factor consumed by
+    optax.inject_hyperparams or a fresh jit of the step fn."""
+
+    def __init__(self, *, factor: float = 0.5, patience: int = 10,
+                 mode: str = "min", min_lr: float = 0.0, base_lr: float = 1e-3):
+        self.factor = factor
+        self.patience = patience
+        self.mode = mode
+        self.min_lr = min_lr
+        self.lr = base_lr
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def step(self, value: float) -> float:
+        improved = (
+            self.best is None
+            or (self.mode == "min" and value < self.best)
+            or (self.mode == "max" and value > self.best)
+        )
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+def update_moving_loss(moving: jnp.ndarray, loss: jnp.ndarray, eps: float = 0.01) -> jnp.ndarray:
+    """EMA train loss (eps_train_loss=0.01, network_trainer.py:162-168)."""
+    return jnp.where(jnp.isnan(moving), loss, (1 - eps) * moving + eps * loss)

@@ -1,0 +1,224 @@
+"""jit-compiled train/eval step factories — the TPU replacement for the
+reference's Lightning training_step/validation_step methods.
+
+Each factory closes over a flax model + optax transformation and returns pure
+functions suitable for jax.jit (and for pjit over a mesh: the caller supplies
+shardings; the step itself is mesh-agnostic SPMD code).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dose_prediction_tpu.evaluation.metrics import dose_score_jax, postprocess_prediction_jax
+from dose_prediction_tpu.train import losses as L
+from dose_prediction_tpu.train.state import TrainState, update_moving_loss
+
+
+def make_pyfer_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    delta1: float = 10.0,
+    delta2: float = 8.0,
+    freeze: bool = True,
+    donate: bool = True,
+):
+    """DOSE-PYFER step (train_light_pyfer.py:122-143): GenLoss deep supervision
+    over the cascade output, frozen net_A by default."""
+
+    def loss_fn(params, batch_stats, batch):
+        (pred_a, preds_b), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["input"], train=True, mutable=["batch_stats"],
+        )
+        loss = L.gen_loss(
+            (pred_a, preds_b), batch["gt"],
+            delta1=delta1, delta2=delta2, cascade=True, freeze=freeze,
+        )
+        return loss, updates["batch_stats"]
+
+    def step(state: TrainState, batch: Dict[str, jax.Array]) -> Tuple[TrainState, jax.Array]:
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            moving_loss=update_moving_loss(state.moving_loss, loss),
+        )
+        return new_state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_pyfer_eval_step(model):
+    """Validation step (train_light_pyfer.py:154-174): full-volume forward,
+    val loss on the full-res head, and the ×70 masked dose score."""
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jax.Array]):
+        (pred_a, preds_b), _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["input"], train=False, mutable=["batch_stats"],
+        )
+        pred = preds_b[0]
+        gt = batch["gt"]
+        loss = L.gen_loss(pred, gt, mode="val")
+        mask = gt[..., 1:2]
+        post = postprocess_prediction_jax(pred, mask)
+        score = dose_score_jax(post, 70.0 * gt[..., 0:1], mask)
+        return {"val_loss": loss, "dose_score": score, "prediction": post}
+
+    return step
+
+
+def make_cascade_c3d_train_step(model, tx: optax.GradientTransformation, *, freeze: bool = False):
+    """C3D baseline step (train_light_c3d.py): plain masked-L1 cascade Loss."""
+
+    def loss_fn(params, batch):
+        pred_a, pred_b = model.apply({"params": params}, batch["input"])
+        return L.cascade_l1_loss(pred_a, pred_b, batch["gt"], freeze=freeze)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            opt_state=new_opt,
+            moving_loss=update_moving_loss(state.moving_loss, loss),
+        )
+        return new_state, loss
+
+    return step
+
+
+def make_simple_dose_train_step(model, tx: optax.GradientTransformation,
+                                loss_kind: str = "l1"):
+    """Single-headed dose models (HD-UNet): masked L1 on the lone output
+    (train_light_hdunet.py, Loss(casecade=False))."""
+
+    def loss_fn(params, batch):
+        pred = model.apply({"params": params}, batch["input"])
+        gt = batch["gt"]
+        return L.masked_l1(pred, gt[..., 0:1], gt[..., 1:2])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            opt_state=new_opt,
+            moving_loss=update_moving_loss(state.moving_loss, loss),
+        )
+        return new_state, loss
+
+    return step
+
+
+def make_transeg_train_step(model, tx: optax.GradientTransformation):
+    """OAR-TranSeg step (train_light_transeg.py:193-198): DiceCE on 96³ crops.
+    batch: {'ct': (N,96,96,96,1), 'labels': (N,96,96,96) int}."""
+
+    def loss_fn(params, batch_stats, batch):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["ct"], train=True, mutable=["batch_stats"],
+        )
+        return L.dice_ce_loss(logits, batch["labels"]), updates["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            moving_loss=update_moving_loss(state.moving_loss, loss),
+        )
+        return new_state, loss
+
+    return step
+
+
+def make_dosegan_train_steps(
+    generator,
+    discriminator,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    *,
+    l1_weight: float = 100.0,
+):
+    """DoseGAN alternating G/D steps (train_light_dosegan.py:111-142):
+    D: BCE(real→1) + BCE(fake→0);  G: BCE(fake→1) + λ·masked-L1.
+
+    States are separate TrainStates for G and D; a single call runs one D
+    update then one G update (the Lightning optimizer_idx loop collapsed into
+    one jit program so XLA can overlap both back-props).
+    """
+
+    def g_apply(gp, gs, x):
+        return generator.apply({"params": gp, "batch_stats": gs}, x,
+                               train=True, mutable=["batch_stats"])
+
+    def d_apply(dp, ds, x):
+        return discriminator.apply({"params": dp, "batch_stats": ds}, x,
+                                   train=True, mutable=["batch_stats"])
+
+    def d_loss_fn(dp, d_stats, g_state, batch):
+        gt_dose, mask = batch["gt"][..., 0:1], batch["gt"][..., 1:2]
+        fake, _ = g_apply(g_state.params, g_state.batch_stats, batch["input"])
+        real_logits, upd = d_apply(dp, d_stats, jnp.concatenate([batch["input"], gt_dose], -1))
+        fake_logits, upd2 = d_apply(dp, upd["batch_stats"],
+                                    jnp.concatenate([batch["input"], fake], -1))
+        loss = 0.5 * (L.bce_with_logits(real_logits, jnp.ones_like(real_logits))
+                      + L.bce_with_logits(fake_logits, jnp.zeros_like(fake_logits)))
+        return loss, upd2["batch_stats"]
+
+    def g_loss_fn(gp, g_stats, d_state, batch):
+        gt_dose, mask = batch["gt"][..., 0:1], batch["gt"][..., 1:2]
+        fake, upd = g_apply(gp, g_stats, batch["input"])
+        fake_logits, _ = d_apply(d_state.params, d_state.batch_stats,
+                                 jnp.concatenate([batch["input"], fake], -1))
+        adv = L.bce_with_logits(fake_logits, jnp.ones_like(fake_logits))
+        recon = L.masked_l1(fake, gt_dose, mask)
+        return adv + l1_weight * recon, upd["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(g_state: TrainState, d_state: TrainState, batch):
+        (d_loss, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params, d_state.batch_stats, g_state, batch)
+        d_updates, d_opt = d_tx.update(d_grads, d_state.opt_state, d_state.params)
+        d_state = d_state.replace(
+            step=d_state.step + 1,
+            params=optax.apply_updates(d_state.params, d_updates),
+            batch_stats=d_stats, opt_state=d_opt,
+            moving_loss=update_moving_loss(d_state.moving_loss, d_loss),
+        )
+        (g_loss, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params, g_state.batch_stats, d_state, batch)
+        g_updates, g_opt = g_tx.update(g_grads, g_state.opt_state, g_state.params)
+        g_state = g_state.replace(
+            step=g_state.step + 1,
+            params=optax.apply_updates(g_state.params, g_updates),
+            batch_stats=g_stats, opt_state=g_opt,
+            moving_loss=update_moving_loss(g_state.moving_loss, g_loss),
+        )
+        return g_state, d_state, {"g_loss": g_loss, "d_loss": d_loss}
+
+    return step

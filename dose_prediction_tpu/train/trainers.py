@@ -1,0 +1,378 @@
+"""Task trainers — the L5 layer (SURVEY.md §2.7) as plain epoch loops over
+jit-compiled steps.
+
+Each trainer mirrors one reference Lightning entry point:
+- PyferTrainer      ← train_light_pyfer.py   (flagship; frozen net_A cascade,
+                      GenLoss δ1=10 δ2=8, val every 5 epochs on dose score,
+                      best-ckpt on mean_dose_score=max)
+- CascadeC3DTrainer ← train_light_c3d.py     (plain masked-L1 cascade)
+- HDUNetTrainer     ← train_light_hdunet.py
+- TranSegTrainer    ← OARSegmentation/train_light_transeg.py (DiceCE on 96³
+                      crops; sliding-window val with Dice + HD95)
+- DoseGANTrainer    ← train_light_dosegan.py (alternating G/D)
+
+Hyperparameter defaults are the reference's tuned values
+(train_light_pyfer.py:293-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dose_prediction_tpu.core import checkpoint as C
+from dose_prediction_tpu.data.openkbp import OpenKBPDataset
+from dose_prediction_tpu.data.pipeline import device_prefetch, dose_batches, seg_batches
+from dose_prediction_tpu.evaluation import metrics as M
+from dose_prediction_tpu.infer.sliding_window import make_sliding_window_fn
+from dose_prediction_tpu.models import (
+    CascadeC3D,
+    DosePyfer,
+    HDUNet,
+    NLayerDiscriminator,
+    TranSeg,
+    UnetGenerator3D,
+)
+from dose_prediction_tpu.train import state as S
+from dose_prediction_tpu.train import steps as STEP
+from dose_prediction_tpu.utils.logging import EpochTimer, MetricLogger
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Shared loop knobs (reference defaults cited per field)."""
+
+    max_epochs: int = 1300           # train_light_pyfer.py:104
+    check_val: int = 5               # :105
+    batch_size: int = 1              # config.py:15
+    learning_rate: float = 0.0006130697604327541   # :296 (tuned)
+    weight_decay: float = 0.00016303111017674179   # :297 (tuned)
+    delta1: float = 10.0             # main(delta1=10)
+    delta2: float = 8.0              # main(delta2=8)
+    freeze_net_a: bool = True
+    seed: int = 0
+    ckpt_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    max_steps: Optional[int] = None  # early stop for smoke runs
+
+
+class PyferTrainer:
+    """Flagship DOSE-PYFER trainer."""
+
+    def __init__(self, cfg: TrainConfig, *, model: Optional[DosePyfer] = None,
+                 pretrained_c3d_params: Optional[Any] = None,
+                 example_shape: Sequence[int] = (1, 128, 128, 128, 9)):
+        self.cfg = cfg
+        self.model = model if model is not None else DosePyfer()
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
+        params = variables["params"]
+        if pretrained_c3d_params is not None:
+            params, _ = C.load_pretrained_net_a(params, pretrained_c3d_params)
+            variables = {**variables, "params": params}
+        freeze_labels = S.cascade_freeze_labels(params) if cfg.freeze_net_a else None
+        self.tx = S.make_optimizer(
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
+            freeze_labels=freeze_labels)
+        self.state = S.create_train_state(variables, self.tx)
+        self.train_step = STEP.make_pyfer_train_step(
+            self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
+            freeze=cfg.freeze_net_a)
+        self.eval_step = STEP.make_pyfer_eval_step(self.model)
+        self.logger = MetricLogger(cfg.log_dir, run_name="pyfer")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
+        self.best_val = -np.inf
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, resume: bool = True) -> None:
+        cfg = self.cfg
+        start_epoch = 0
+        if resume:
+            step, restored = self.ckpt.restore_latest(
+                {"state": self.state, "epoch": 0})
+            if restored is not None:
+                self.state = restored["state"]
+                start_epoch = int(restored["epoch"]) + 1
+                self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
+        timer = EpochTimer()
+        global_step = int(self.state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
+            timer.reset()
+            epoch_losses: List[float] = []
+            timer.tick()
+            it = device_prefetch(dose_batches(
+                train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch))
+            timer.tock("loader")
+            for batch in it:
+                timer.tick()
+                self.state, loss = self.train_step(self.state, batch)
+                epoch_losses.append(float(loss))
+                timer.tock("train")
+                global_step += 1
+                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    break
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else np.nan
+            self.logger.log({"train_mean_loss": mean_loss,
+                             "moving_loss": float(self.state.moving_loss)}, epoch + 1)
+
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                timer.tick()
+                scores, vlosses = [], []
+                for batch in device_prefetch(dose_batches(
+                        val_ds, batch_size=1, shuffle=False, augment=False)):
+                    out = self.eval_step(self.state, batch)
+                    scores.append(float(out["dose_score"]))
+                    vlosses.append(float(out["val_loss"]))
+                mean_dose_score = -float(np.mean(scores))  # maximize (:179)
+                timer.tock("val")
+                self.logger.log({"mean_dose_score": mean_dose_score,
+                                 "val_loss": float(np.mean(vlosses))}, epoch + 1)
+                self.best_val = max(self.best_val, mean_dose_score)
+                self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
+                               {"mean_dose_score": mean_dose_score})
+            self.logger.log_text(f"epoch {epoch + 1}: {timer.report()}")
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                break
+
+    def test(self, test_ds: OpenKBPDataset) -> Dict[str, Any]:
+        """OpenKBP scoring sweep (train_light_pyfer.py:199-287): per-patient
+        dose score, DVH score, IVS curve."""
+        results = evaluate_dose_model(
+            lambda batch: self.eval_step(self.state, batch)["prediction"],
+            test_ds)
+        self.logger.log({"mean_dose_metric": results["mean_dose_score"],
+                         "std_dose_metric": results["std_dose_score"],
+                         "mean_dvh_metric": results["mean_dvh_score"]},
+                        int(self.state.step))
+        return results
+
+
+def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
+                        ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+    """Shared OpenKBP test-path evaluation (dose + DVH + IVS accumulation,
+    evaluate_openKBP.py:149-222). ``predict_fn`` returns the post-processed
+    ×70 Gy prediction for a {'input','gt'} batch."""
+    dose_scores, dvh_scores = [], []
+    ivs_curves = []
+    per_patient: Dict[str, Dict] = {}
+    for p in ds.patients:
+        batch = {"input": jnp.asarray(p.model_input[None]),
+                 "gt": jnp.asarray(p.gt[None])}
+        pred = np.asarray(predict_fn(batch))[0, ..., 0]
+        ds_score = M.dose_score(pred, p.real_dose, p.dose_mask)
+        dvh = M.dvh_score_for_patient(pred, p.real_dose, p.structures, p.spacing)
+        dose_scores.append(ds_score)
+        if np.isfinite(dvh["dvh_dif"]):
+            dvh_scores.append(dvh["dvh_dif"])
+        if with_ivs:
+            ivs_curves.append(M.ivs_sweep(pred, p.real_dose))
+        per_patient[p.patient_id] = {"dose_dif": ds_score, "dvh_dif": dvh["dvh_dif"],
+                                     **dvh["detail"]}
+    return {
+        "mean_dose_score": float(np.mean(dose_scores)),
+        "std_dose_score": float(np.std(dose_scores)),
+        "mean_dvh_score": float(np.mean(dvh_scores)) if dvh_scores else float("nan"),
+        "ivs": np.mean(np.stack(ivs_curves), axis=0).tolist() if ivs_curves else None,
+        "per_patient": per_patient,
+    }
+
+
+class CascadeC3DTrainer:
+    """C3D baseline (train_light_c3d.py), masked-L1 cascade loss."""
+
+    def __init__(self, cfg: TrainConfig, *, model: Optional[CascadeC3D] = None,
+                 example_shape: Sequence[int] = (1, 128, 128, 128, 9),
+                 schedule: Optional[Any] = None):
+        self.cfg = cfg
+        self.model = model if model is not None else CascadeC3D()
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
+        lr = schedule if schedule is not None else cfg.learning_rate
+        self.tx = S.make_optimizer(learning_rate=lr, weight_decay=cfg.weight_decay)
+        self.state = S.create_train_state(variables, self.tx)
+        self.train_step = STEP.make_cascade_c3d_train_step(self.model, self.tx)
+        self.logger = MetricLogger(cfg.log_dir, run_name="c3d")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None):
+        cfg = self.cfg
+        global_step = 0
+
+        @jax.jit
+        def predict(params, x):
+            _, pred_b = self.model.apply({"params": params}, x)
+            return pred_b
+
+        for epoch in range(cfg.max_epochs):
+            losses = []
+            for batch in device_prefetch(dose_batches(
+                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                self.state, loss = self.train_step(self.state, batch)
+                losses.append(float(loss))
+                global_step += 1
+                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    break
+            self.logger.log({"train_mean_loss": float(np.mean(losses))}, epoch + 1)
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                scores = []
+                for batch in dose_batches(val_ds, batch_size=1, shuffle=False, augment=False):
+                    pred = predict(self.state.params, jnp.asarray(batch["input"]))
+                    gt = batch["gt"]
+                    post = M.postprocess_prediction(np.asarray(pred)[..., 0], gt[..., 1])
+                    scores.append(M.dose_score(post, 70 * gt[..., 0], gt[..., 1]))
+                mds = -float(np.mean(scores))
+                self.logger.log({"mean_dose_score": mds}, epoch + 1)
+                self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
+                               {"mean_dose_score": mds})
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                break
+
+
+class HDUNetTrainer:
+    """HD-UNet baseline (train_light_hdunet.py): single-head masked L1."""
+
+    def __init__(self, cfg: TrainConfig, *, model: Optional[HDUNet] = None,
+                 example_shape: Sequence[int] = (1, 128, 128, 128, 9)):
+        self.cfg = cfg
+        self.model = model if model is not None else HDUNet(growth_rate=16, upsample_chan=64)
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
+        self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
+                                   weight_decay=cfg.weight_decay)
+        self.state = S.create_train_state(variables, self.tx)
+        self.train_step = STEP.make_simple_dose_train_step(self.model, self.tx)
+        self.logger = MetricLogger(cfg.log_dir, run_name="hdunet")
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None):
+        cfg = self.cfg
+        global_step = 0
+        for epoch in range(cfg.max_epochs):
+            losses = []
+            for batch in device_prefetch(dose_batches(
+                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                self.state, loss = self.train_step(self.state, batch)
+                losses.append(float(loss))
+                global_step += 1
+                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    return
+            self.logger.log({"train_mean_loss": float(np.mean(losses))}, epoch + 1)
+
+
+class TranSegTrainer:
+    """OAR-TranSeg trainer (train_light_transeg.py)."""
+
+    def __init__(self, cfg: TrainConfig, *, model: Optional[TranSeg] = None,
+                 crop: Sequence[int] = (96, 96, 96), num_classes: int = 8,
+                 pretrained_params: Optional[Any] = None):
+        self.cfg = cfg
+        self.crop = tuple(crop)
+        self.num_classes = num_classes
+        self.model = model if model is not None else TranSeg(out_ch=num_classes)
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(cfg.seed), jnp.zeros((1, *self.crop, 1), jnp.float32))
+        params = variables["params"]
+        if pretrained_params is not None:
+            # ckpt surgery: shape-matched partial restore (:126-146)
+            params, _ = C.merge_partial(params, pretrained_params)
+            variables = {**variables, "params": params}
+        self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
+                                   weight_decay=cfg.weight_decay)
+        self.state = S.create_train_state(variables, self.tx)
+        self.train_step = STEP.make_transeg_train_step(self.model, self.tx)
+        self.logger = MetricLogger(cfg.log_dir, run_name="transeg")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="val_loss", mode="min")
+
+    def _predictor(self):
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+        def predict(windows):
+            logits, _ = self.model.apply(variables, windows, train=False,
+                                         mutable=["batch_stats"])
+            return logits
+
+        return predict
+
+    def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
+        """Sliding-window full-volume val with Dice + HD95 (:205-242)."""
+        run = make_sliding_window_fn(
+            self._predictor(), roi_size=self.crop, sw_batch_size=sw_batch_size,
+            out_channels=self.num_classes)
+        dices, hds = [], []
+        for p in val_ds.patients:
+            logits = run(jnp.asarray(p.ct[None, ..., None]))
+            pred_labels = np.asarray(jnp.argmax(logits, axis=-1))[0]
+            gt_labels = np.asarray(p.oars_label_encoded)
+            d, h = M.seg_metrics_per_class(pred_labels, gt_labels,
+                                           self.num_classes, p.spacing)
+            dices.append(np.nanmean(d))
+            hds.append(np.nanmean(h))
+        return float(np.nanmean(dices)), float(np.nanmean(hds))
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, num_samples: int = 4):
+        cfg = self.cfg
+        global_step = 0
+        for epoch in range(cfg.max_epochs):
+            losses = []
+            for batch in device_prefetch(seg_batches(
+                    train_ds, crop=self.crop, num_samples=num_samples,
+                    batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                self.state, loss = self.train_step(self.state, batch)
+                losses.append(float(loss))
+                global_step += 1
+                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    break
+            mean_loss = float(np.mean(losses)) if losses else np.nan
+            self.logger.log({"train_loss": mean_loss}, epoch + 1)
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                dice, hd95 = self.validate(val_ds)
+                self.logger.log({"dice_metric": dice, "hd95_metric": hd95,
+                                 "val_loss": mean_loss}, epoch + 1)
+                self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
+                               {"val_loss": mean_loss})
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                break
+
+
+class DoseGANTrainer:
+    """DoseGAN (train_light_dosegan.py): alternating G/D updates."""
+
+    def __init__(self, cfg: TrainConfig, *, ngf: int = 64, ndf: int = 64,
+                 example_shape: Sequence[int] = (1, 128, 128, 128, 9),
+                 l1_weight: float = 100.0):
+        self.cfg = cfg
+        self.gen = UnetGenerator3D(out_ch=1, ngf=ngf)
+        self.disc = NLayerDiscriminator(ndf=ndf)
+        gx = jnp.zeros(example_shape, jnp.float32)
+        dx = jnp.zeros((*example_shape[:-1], example_shape[-1] + 1), jnp.float32)
+        g_vars = jax.jit(self.gen.init)(jax.random.PRNGKey(cfg.seed), gx)
+        d_vars = jax.jit(self.disc.init)(jax.random.PRNGKey(cfg.seed + 1), dx)
+        self.g_tx = S.make_optimizer(learning_rate=cfg.learning_rate, b1=0.5)
+        self.d_tx = S.make_optimizer(learning_rate=cfg.learning_rate, b1=0.5)
+        self.g_state = S.create_train_state(g_vars, self.g_tx)
+        self.d_state = S.create_train_state(d_vars, self.d_tx)
+        self.step = STEP.make_dosegan_train_steps(
+            self.gen, self.disc, self.g_tx, self.d_tx, l1_weight=l1_weight)
+        self.logger = MetricLogger(cfg.log_dir, run_name="dosegan")
+
+    def fit(self, train_ds: OpenKBPDataset):
+        cfg = self.cfg
+        global_step = 0
+        for epoch in range(cfg.max_epochs):
+            g_losses, d_losses = [], []
+            for batch in device_prefetch(dose_batches(
+                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                self.g_state, self.d_state, info = self.step(self.g_state, self.d_state, batch)
+                g_losses.append(float(info["g_loss"]))
+                d_losses.append(float(info["d_loss"]))
+                global_step += 1
+                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    return
+            self.logger.log({"gan_loss": float(np.mean(g_losses)),
+                             "disc_loss": float(np.mean(d_losses))}, epoch + 1)

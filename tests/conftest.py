@@ -16,6 +16,11 @@ import jax
 # into the config; update the live config as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the model graphs contain hundreds of distinct
+# 3D convs; caching makes repeat test runs dramatically faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
