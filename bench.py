@@ -27,7 +27,10 @@ def main() -> None:
     # Persistent compilation cache: the cascade graph contains hundreds of
     # distinct 3D convs whose XLA-TPU compiles dominate cold-start (~40 min);
     # with the cache, recompiles are O(seconds).
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    from pathlib import Path
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp

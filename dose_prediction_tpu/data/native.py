@@ -1,0 +1,137 @@
+"""ctypes bindings for the native C++ data-path runtime (native/dose_io.cpp).
+
+Builds lazily with make on first use; every entry point falls back to the
+pure-numpy reader (data/nifti.py) when the native library is unavailable, so
+the framework works identically either way — native is the fast path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libdose_io.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        return None
+    lib.dose_io_load.restype = ctypes.c_int
+    lib.dose_io_load.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float)]
+    lib.dose_io_probe.restype = ctypes.c_int
+    lib.dose_io_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.dose_io_load_batch.restype = ctypes.c_int
+    lib.dose_io_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.dose_io_preprocess_ct.restype = None
+    lib.dose_io_preprocess_ct.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def read_volume_f32(path: str | Path) -> Optional[Tuple[np.ndarray, Tuple[float, float, float]]]:
+    """Native load of one NIfTI volume as float32 (i,j,k order); None when the
+    native library is unavailable or declines the file."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    shape = (ctypes.c_int64 * 3)()
+    spacing = (ctypes.c_float * 3)()
+    if lib.dose_io_probe(str(path).encode(), shape, spacing) != 0:
+        return None
+    n = shape[0] * shape[1] * shape[2]
+    buf = np.empty(n, np.float32)
+    rc = lib.dose_io_load(str(path).encode(),
+                          buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          n, shape, spacing)
+    if rc != 0:
+        return None
+    # NIfTI voxels are Fortran-ordered; match data.nifti.read_nifti layout
+    data = buf.reshape((shape[2], shape[1], shape[0])).transpose(2, 1, 0)
+    return np.ascontiguousarray(data), (spacing[0], spacing[1], spacing[2])
+
+
+def read_batch_f32(paths: Sequence[str | Path], *, n_threads: int = 4
+                   ) -> Optional[List[Tuple[np.ndarray, Tuple[float, float, float]]]]:
+    """Concurrent native load of many volumes; None on unavailability."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    count = len(paths)
+    shapes = (ctypes.c_int64 * (3 * count))()
+    spacings = (ctypes.c_float * (3 * count))()
+    # probe for max size
+    stride = 0
+    for p in paths:
+        sh = (ctypes.c_int64 * 3)()
+        sp = (ctypes.c_float * 3)()
+        if lib.dose_io_probe(str(p).encode(), sh, sp) != 0:
+            return None
+        stride = max(stride, sh[0] * sh[1] * sh[2])
+    buf = np.empty(count * stride, np.float32)
+    status = (ctypes.c_int * count)()
+    c_paths = (ctypes.c_char_p * count)(*[str(p).encode() for p in paths])
+    rc = lib.dose_io_load_batch(
+        c_paths, count, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stride, shapes, spacings, status, n_threads)
+    if rc != 0:
+        return None
+    out = []
+    for i in range(count):
+        sx, sy, sz = shapes[3 * i], shapes[3 * i + 1], shapes[3 * i + 2]
+        vol = buf[i * stride: i * stride + sx * sy * sz]
+        data = vol.reshape((sz, sy, sx)).transpose(2, 1, 0)
+        out.append((np.ascontiguousarray(data),
+                    (spacings[3 * i], spacings[3 * i + 1], spacings[3 * i + 2])))
+    return out
+
+
+def preprocess_ct_inplace(buf: np.ndarray, a_min: float = -1024.0,
+                          a_max: float = 1500.0, scale: float = 1000.0) -> np.ndarray:
+    """Native in-place CT clip+scale; numpy fallback."""
+    lib = get_lib()
+    if lib is not None and buf.dtype == np.float32 and buf.flags.c_contiguous:
+        lib.dose_io_preprocess_ct(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size,
+            a_min, a_max, 1.0 / scale)
+        return buf
+    np.clip(buf, a_min, a_max, out=buf)
+    buf /= scale
+    return buf

@@ -1,10 +1,21 @@
 """End-to-end linked cascade: CT → sliding-window OAR segmentation → one-hot
-masks → concat(PTV, OARs, CT) → DOSE-PYFER dose map — as ONE jit program.
+masks → concat(PTV, OARs, CT) → DOSE-PYFER dose map.
 
 Parity target: LinkedNet.test_step (train_light_linked_model.py:138-176),
 which round-trips through the CPU between every stage (.cpu() at :150,169).
-Here the seg sweep, argmax/one-hot, concat, dose forward, and ×70 masked
-post-process all stay in HBM.
+Here every intermediate stays in HBM.
+
+Model variables flow through the jitted stages as ARGUMENTS (not closure
+captures): remote-compile services cap HLO upload size, and capturing ~350 MB
+of weights as constants blows that cap (observed HTTP 413 on the axon
+tunnel). As arguments they live on device and never enter the program blob.
+
+Two execution modes:
+- ``fuse=False`` (default): seg sweep and dose forward are separate jit
+  programs; device arrays flow between them without host transfers, runtime
+  is the same, but XLA compiles two medium graphs instead of one giant one.
+- ``fuse=True``: single jit program (fastest dispatch once the compilation
+  cache is warm).
 
 Note on axis permutes: the reference applies (0,3,2,1)/(0,1,4,3,2) permutes
 between stages (:157-165) to undo inconsistent transposes between its two
@@ -34,6 +45,7 @@ def make_cascade_fn(
     sw_batch_size: int = 4,
     overlap: float = 0.25,
     dose_scale: float = 70.0,
+    fuse: bool = False,
 ) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
     """Build the linked inference program.
 
@@ -43,26 +55,41 @@ def make_cascade_fn(
         reference post-process (:171-173).
     """
 
-    def seg_predictor(windows):
-        logits, _ = seg_model.apply(seg_variables, windows, train=False,
+    def seg_predictor(windows, seg_vars):
+        logits, _ = seg_model.apply(seg_vars, windows, train=False,
                                     mutable=["batch_stats"])
         return logits
 
-    @jax.jit
-    def run(ct: jax.Array, ptv: jax.Array, dose_mask: jax.Array) -> jax.Array:
-        # stage 1: sliding-window segmentation over the full CT (:152-154)
+    def stage1(seg_vars, ct: jax.Array, ptv: jax.Array) -> jax.Array:
+        # sliding-window segmentation over the full CT (:152-154)
         logits = sliding_window_inference(
             ct, seg_predictor, roi_size=roi_size, sw_batch_size=sw_batch_size,
-            overlap=overlap, out_channels=num_oar_classes)
+            overlap=overlap, out_channels=num_oar_classes,
+            predictor_args=(seg_vars,))
         labels = jnp.argmax(logits, axis=-1)
         # one-hot, drop background channel (:157-160)
         oars = jax.nn.one_hot(labels, num_oar_classes, dtype=ct.dtype)[..., 1:]
-        # stage 2: 9-channel dose input = (PTV, 7 OARs, CT) (:167)
-        structures = jnp.concatenate([ptv, oars, ct], axis=-1)
+        # 9-channel dose input = (PTV, 7 OARs, CT) (:167)
+        return jnp.concatenate([ptv, oars, ct], axis=-1)
+
+    def stage2(dose_vars, structures: jax.Array, dose_mask: jax.Array) -> jax.Array:
         (pred_a, preds_b), _ = dose_model.apply(
-            dose_variables, structures, train=False, mutable=["batch_stats"])
-        pred = preds_b[0]
+            dose_vars, structures, train=False, mutable=["batch_stats"])
         # mask out-of-region and negative voxels, scale to Gy (:171-173)
-        return postprocess_prediction_jax(pred, dose_mask, scale=dose_scale)
+        return postprocess_prediction_jax(preds_b[0], dose_mask, scale=dose_scale)
+
+    if fuse:
+        fused = jax.jit(lambda sv, dv, ct, ptv, mask: stage2(dv, stage1(sv, ct, ptv), mask))
+
+        def run(ct, ptv, dose_mask):
+            return fused(seg_variables, dose_variables, ct, ptv, dose_mask)
+
+        return run
+
+    stage1_jit = jax.jit(stage1)
+    stage2_jit = jax.jit(stage2)
+
+    def run(ct: jax.Array, ptv: jax.Array, dose_mask: jax.Array) -> jax.Array:
+        return stage2_jit(dose_variables, stage1_jit(seg_variables, ct, ptv), dose_mask)
 
     return run

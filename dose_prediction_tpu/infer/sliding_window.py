@@ -9,10 +9,16 @@ train_light_linked_model.py:152-154). Here the whole sweep is ONE jit program:
 - windows are gathered with lax.dynamic_slice, batched on the sw axis, pushed
   through the predictor, and blended back with read-modify-write
   dynamic_update_slice adds inside a lax.scan — no host round-trips;
-- the normalization count map is a compile-time numpy constant (the grid is
-  static), so blending costs one multiply-add per window plus one divide.
+- the importance map and normalization count are computed in-graph (the count
+  rides along as an extra accumulated channel), so the traced program embeds
+  NO large constants — important because remote-compile services cap request
+  size, and closure constants the size of the volume would blow it.
 
 Supports constant and gaussian importance maps (MONAI BlendMode parity).
+
+Predictor parameters should be passed via ``predictor_args`` (becoming jit
+arguments), not captured in the predictor closure: captured arrays are
+serialized into the HLO upload.
 """
 
 from __future__ import annotations
@@ -47,41 +53,47 @@ def window_grid(image_size: Sequence[int], roi_size: Sequence[int],
     return [(z, y, x) for z in zs for y in ys for x in xs]
 
 
-def _importance_map(roi_size: Sequence[int], mode: str, sigma_scale: float = 0.125) -> np.ndarray:
+def _importance_map(roi_size: Sequence[int], mode: str,
+                    sigma_scale: float = 0.125) -> jax.Array:
+    """Importance map computed IN-GRAPH (no host constants)."""
     if mode == "constant":
-        return np.ones(tuple(roi_size), np.float32)
+        return jnp.ones((*roi_size, 1), jnp.float32)
     if mode == "gaussian":
-        grids = []
-        for s in roi_size:
+        axes = []
+        for i, s in enumerate(roi_size):
             center = (s - 1) / 2.0
             sigma = max(s * sigma_scale, 1e-3)
-            x = np.arange(s, dtype=np.float64)
-            grids.append(np.exp(-0.5 * ((x - center) / sigma) ** 2))
-        m = grids[0][:, None, None] * grids[1][None, :, None] * grids[2][None, None, :]
-        m = np.clip(m / m.max(), np.finfo(np.float32).tiny, None)
-        return m.astype(np.float32)
+            x = jax.lax.broadcasted_iota(jnp.float32, (roi_size[0], roi_size[1], roi_size[2]), i)
+            axes.append(jnp.exp(-0.5 * ((x - center) / sigma) ** 2))
+        m = axes[0] * axes[1] * axes[2]
+        m = m / jnp.max(m)
+        m = jnp.maximum(m, jnp.finfo(jnp.float32).tiny)
+        return m[..., None]
     raise ValueError(f"unknown blend mode {mode!r}")
 
 
 def sliding_window_inference(
     volume: jax.Array,
-    predictor: Callable[[jax.Array], jax.Array],
+    predictor: Callable,
     *,
     roi_size: Sequence[int] = (96, 96, 96),
     sw_batch_size: int = 4,
     overlap: float = 0.25,
     mode: str = "constant",
     out_channels: int | None = None,
+    predictor_args: Tuple = (),
 ) -> jax.Array:
     """Run ``predictor`` over overlapping ROI windows of ``volume``.
 
     Args:
         volume: ``(1, D, H, W, C)`` (single full volume; batching across
             patients belongs on a mesh axis, not here).
-        predictor: maps ``(n, *roi, C) -> (n, *roi, C_out)``; it is traced once
-            with the sw batch shape.
+        predictor: maps ``(n, *roi, C), *predictor_args -> (n, *roi, C_out)``;
+            traced once with the sw batch shape.
         out_channels: output channel count (defaults to input C; pass when the
             predictor changes channel count, e.g. 1→8-class seg).
+        predictor_args: extra arguments forwarded to the predictor (model
+            variables belong here, NOT in the closure).
 
     Returns:
         ``(1, D, H, W, C_out)`` blended output.
@@ -99,16 +111,10 @@ def sliding_window_inference(
     n_win = len(grid)
     n_batches = -(-n_win // sw_batch_size)
     # pad grid by repeating the last window; its contribution is divided out
-    # exactly because the count map counts every gathered window.
+    # exactly because the accumulated count channel counts every window.
     padded = grid + [grid[-1]] * (n_batches * sw_batch_size - n_win)
 
-    imp = _importance_map(roi, mode)
-    count = np.zeros((*full, 1), np.float32)
-    for (z, y, x) in padded:
-        count[z:z + roi[0], y:y + roi[1], x:x + roi[2], 0] += imp
-    count_map = jnp.asarray(count)
-    imp_dev = jnp.asarray(imp)[None, ..., None]
-
+    imp = _importance_map(roi, mode)                       # (*roi, 1), in-graph
     starts = jnp.asarray(padded, jnp.int32).reshape(n_batches, sw_batch_size, 3)
     c_out = int(out_channels) if out_channels is not None else c
 
@@ -117,24 +123,27 @@ def sliding_window_inference(
             volume, (0, start[0], start[1], start[2], 0), (1, *roi, c))
         return win[0]
 
-    out_init = jnp.zeros((*full, c_out), jnp.float32)
+    # accumulate (pred · imp, imp) together: last channel is the count map
+    acc_init = jnp.zeros((*full, c_out + 1), jnp.float32)
 
     def body(acc, batch_starts):
         wins = jax.vmap(gather_one)(batch_starts)          # (sw, *roi, C)
-        preds = predictor(wins).astype(jnp.float32)        # (sw, *roi, C_out)
-        preds = preds * imp_dev
+        preds = predictor(wins, *predictor_args).astype(jnp.float32)
+        contrib = jnp.concatenate(
+            [preds * imp[None], jnp.broadcast_to(imp[None], (sw_batch_size, *roi, 1))],
+            axis=-1)
 
         def scatter(acc, i):
             s = batch_starts[i]
             idx = (s[0], s[1], s[2], 0)
-            patch = jax.lax.dynamic_slice(acc, idx, (*roi, c_out))
-            return jax.lax.dynamic_update_slice(acc, patch + preds[i], idx), None
+            patch = jax.lax.dynamic_slice(acc, idx, (*roi, c_out + 1))
+            return jax.lax.dynamic_update_slice(acc, patch + contrib[i], idx), None
 
         acc, _ = jax.lax.scan(scatter, acc, jnp.arange(sw_batch_size))
         return acc, None
 
-    out, _ = jax.lax.scan(body, out_init, starts)
-    out = out / count_map
+    acc, _ = jax.lax.scan(body, acc_init, starts)
+    out = acc[..., :c_out] / acc[..., c_out:]
     out = out[None]
     if any(pads):
         out = out[:, :d, :h, :w]
@@ -142,7 +151,7 @@ def sliding_window_inference(
 
 
 def make_sliding_window_fn(
-    predictor: Callable[[jax.Array], jax.Array],
+    predictor: Callable,
     *,
     roi_size: Sequence[int] = (96, 96, 96),
     sw_batch_size: int = 4,
@@ -150,12 +159,17 @@ def make_sliding_window_fn(
     mode: str = "constant",
     out_channels: int | None = None,
 ):
-    """jit-wrapped sliding-window closure for repeated full-volume inference."""
+    """jit-wrapped sliding-window closure for repeated full-volume inference.
+
+    Returns ``run(volume, *predictor_args)``; pass model variables through
+    ``predictor_args`` so they are jit arguments, not traced constants.
+    """
 
     @jax.jit
-    def run(volume):
+    def run(volume, *predictor_args):
         return sliding_window_inference(
             volume, predictor, roi_size=roi_size, sw_batch_size=sw_batch_size,
-            overlap=overlap, mode=mode, out_channels=out_channels)
+            overlap=overlap, mode=mode, out_channels=out_channels,
+            predictor_args=predictor_args)
 
     return run

@@ -24,9 +24,9 @@ MAX_SINGLE_BLOCK_TOKENS = 1024  # 1024² f32 scores = 4 MB VMEM
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)                   # (L, Dh)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0, 0].astype(jnp.float32)                # (L, Dh)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -35,7 +35,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     p = jnp.exp(scores - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     out = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:

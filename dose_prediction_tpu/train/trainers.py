@@ -289,9 +289,8 @@ class TranSegTrainer:
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="val_loss", mode="min")
 
     def _predictor(self):
-        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-
-        def predict(windows):
+        # variables flow as jit arguments (see sliding_window module docstring)
+        def predict(windows, variables):
             logits, _ = self.model.apply(variables, windows, train=False,
                                          mutable=["batch_stats"])
             return logits
@@ -303,9 +302,10 @@ class TranSegTrainer:
         run = make_sliding_window_fn(
             self._predictor(), roi_size=self.crop, sw_batch_size=sw_batch_size,
             out_channels=self.num_classes)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         dices, hds = [], []
         for p in val_ds.patients:
-            logits = run(jnp.asarray(p.ct[None, ..., None]))
+            logits = run(jnp.asarray(p.ct[None, ..., None]), variables)
             pred_labels = np.asarray(jnp.argmax(logits, axis=-1))[0]
             gt_labels = np.asarray(p.oars_label_encoded)
             d, h = M.seg_metrics_per_class(pred_labels, gt_labels,

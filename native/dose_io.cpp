@@ -1,0 +1,248 @@
+// dose_io — native data-path runtime for dose_prediction_tpu.
+//
+// The reference delegates NIfTI IO to SimpleITK (C++) and parallel loading to
+// torch DataLoader worker processes (SURVEY.md §2.4). This library is the
+// TPU-framework equivalent: a small C++ runtime that
+//   * inflates .nii.gz with zlib and parses NIfTI-1 headers,
+//   * converts voxels to float32 and applies the OpenKBP preprocessing
+//     (clip + scale) during the same pass over memory,
+//   * loads many volumes concurrently on a thread pool (one pass per file,
+//     no Python in the loop),
+// exposed through a C ABI consumed via ctypes (no pybind11 dependency).
+//
+// Build: see native/Makefile (produces libdose_io.so).
+
+#include <zlib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kHeaderSize = 348;
+
+struct NiftiHeader {
+  int16_t dim[8];
+  int16_t datatype;
+  float pixdim[8];
+  float vox_offset;
+  float scl_slope;
+  float scl_inter;
+};
+
+bool parse_header(const uint8_t* raw, size_t len, NiftiHeader* h) {
+  if (len < kHeaderSize) return false;
+  int32_t sizeof_hdr;
+  std::memcpy(&sizeof_hdr, raw, 4);
+  if (sizeof_hdr != kHeaderSize) return false;  // big-endian unsupported here
+  std::memcpy(h->dim, raw + 40, 16);
+  std::memcpy(&h->datatype, raw + 70, 2);
+  std::memcpy(h->pixdim, raw + 76, 32);
+  std::memcpy(&h->vox_offset, raw + 108, 4);
+  std::memcpy(&h->scl_slope, raw + 112, 4);
+  std::memcpy(&h->scl_inter, raw + 116, 4);
+  return true;
+}
+
+// Inflate a whole gzip file into memory; returns false on error.
+bool gunzip_file(const char* path, std::vector<uint8_t>* out) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return false;
+  std::vector<uint8_t> compressed((std::istreambuf_iterator<char>(f)),
+                                  std::istreambuf_iterator<char>());
+  if (compressed.size() >= 2 && !(compressed[0] == 0x1f && compressed[1] == 0x8b)) {
+    *out = std::move(compressed);  // not gzip: plain .nii
+    return true;
+  }
+  z_stream zs{};
+  if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return false;
+  zs.next_in = compressed.data();
+  zs.avail_in = static_cast<uInt>(compressed.size());
+  out->clear();
+  out->reserve(compressed.size() * 4);
+  std::vector<uint8_t> buf(1 << 20);
+  int ret = Z_OK;
+  do {
+    zs.next_out = buf.data();
+    zs.avail_out = static_cast<uInt>(buf.size());
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return false;
+    }
+    out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+  } while (ret != Z_STREAM_END);
+  inflateEnd(&zs);
+  return true;
+}
+
+template <typename T>
+void convert_to_f32(const uint8_t* src, float* dst, int64_t n, float slope,
+                    float inter) {
+  const T* s = reinterpret_cast<const T*>(src);
+  if (slope == 0.0f) slope = 1.0f;
+  if (slope == 1.0f && inter == 0.0f) {
+    for (int64_t i = 0; i < n; ++i) dst[i] = static_cast<float>(s[i]);
+  } else {
+    for (int64_t i = 0; i < n; ++i)
+      dst[i] = static_cast<float>(s[i]) * slope + inter;
+  }
+}
+
+// Simple fixed-size thread pool.
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> task;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this] { return stop_ || !tasks_.empty(); });
+            if (stop_ && tasks_.empty()) return;
+            task = std::move(tasks_.front());
+            tasks_.pop();
+          }
+          task();
+        }
+      });
+    }
+  }
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void submit(std::function<void()> f) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      tasks_.push(std::move(f));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> tasks_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+int64_t voxel_count(const NiftiHeader& h) {
+  int nd = h.dim[0];
+  int64_t n = 1;
+  for (int i = 1; i <= nd && i < 8; ++i) n *= h.dim[i];
+  return n;
+}
+
+// Core single-file load: gunzip → parse → convert to f32 into dst (caller
+// allocated, must hold voxel_count elements). Returns 0 on success.
+int load_volume_f32(const char* path, float* dst, int64_t capacity,
+                    int64_t* shape_out, float* spacing_out) {
+  std::vector<uint8_t> raw;
+  if (!gunzip_file(path, &raw)) return -1;
+  NiftiHeader h;
+  if (!parse_header(raw.data(), raw.size(), &h)) return -2;
+  int64_t n = voxel_count(h);
+  if (n > capacity) return -3;
+  size_t offset = static_cast<size_t>(h.vox_offset);
+  if (raw.size() < offset) return -4;
+  const uint8_t* data = raw.data() + offset;
+  switch (h.datatype) {
+    case 2:   convert_to_f32<uint8_t>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    case 4:   convert_to_f32<int16_t>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    case 8:   convert_to_f32<int32_t>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    case 16:  convert_to_f32<float>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    case 64:  convert_to_f32<double>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    case 256: convert_to_f32<int8_t>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    case 512: convert_to_f32<uint16_t>(data, dst, n, h.scl_slope, h.scl_inter); break;
+    default: return -5;
+  }
+  for (int i = 0; i < 3; ++i) {
+    shape_out[i] = (h.dim[0] >= i + 1) ? h.dim[i + 1] : 1;
+    spacing_out[i] = h.pixdim[i + 1];
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read the (i,j,k) shape of a NIfTI file without decoding voxels fully.
+// Returns 0 on success.
+int dose_io_probe(const char* path, int64_t* shape_out, float* spacing_out) {
+  std::vector<uint8_t> raw;
+  if (!gunzip_file(path, &raw)) return -1;
+  NiftiHeader h;
+  if (!parse_header(raw.data(), raw.size(), &h)) return -2;
+  for (int i = 0; i < 3; ++i) {
+    shape_out[i] = (h.dim[0] >= i + 1) ? h.dim[i + 1] : 1;
+    spacing_out[i] = h.pixdim[i + 1];
+  }
+  return 0;
+}
+
+// Load one volume to float32. dst must hold `capacity` floats.
+int dose_io_load(const char* path, float* dst, int64_t capacity,
+                 int64_t* shape_out, float* spacing_out) {
+  return load_volume_f32(path, dst, capacity, shape_out, spacing_out);
+}
+
+// Load `count` volumes concurrently on `n_threads`. paths is a packed array of
+// NUL-terminated strings; dst is a contiguous buffer of count*stride floats.
+// Per-file status codes land in status_out. Returns 0 if all succeeded.
+int dose_io_load_batch(const char** paths, int count, float* dst,
+                       int64_t stride, int64_t* shapes_out,
+                       float* spacings_out, int* status_out, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> failures{0};
+  {
+    ThreadPool pool(n_threads);
+    std::atomic<int> remaining{count};
+    std::mutex done_mu;
+    std::condition_variable done_cv;
+    for (int i = 0; i < count; ++i) {
+      pool.submit([&, i] {
+        status_out[i] = load_volume_f32(paths[i], dst + i * stride, stride,
+                                        shapes_out + i * 3, spacings_out + i * 3);
+        if (status_out[i] != 0) failures.fetch_add(1);
+        if (remaining.fetch_sub(1) == 1) {
+          std::lock_guard<std::mutex> lk(done_mu);
+          done_cv.notify_one();
+        }
+      });
+    }
+    std::unique_lock<std::mutex> lk(done_mu);
+    done_cv.wait(lk, [&] { return remaining.load() == 0; });
+  }
+  return failures.load() == 0 ? 0 : -1;
+}
+
+// In-place OpenKBP CT preprocessing: clip to [a_min, a_max] then multiply by
+// inv_scale (MyIntensityNormalTransform, dataloader_OpenKBP_monai.py:138-146).
+void dose_io_preprocess_ct(float* buf, int64_t n, float a_min, float a_max,
+                           float inv_scale) {
+  for (int64_t i = 0; i < n; ++i) {
+    float v = buf[i];
+    v = v < a_min ? a_min : (v > a_max ? a_max : v);
+    buf[i] = v * inv_scale;
+  }
+}
+
+}  // extern "C"

@@ -18,7 +18,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the model graphs contain hundreds of distinct
 # 3D convs; caching makes repeat test runs dramatically faster.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache_cpu")
+from pathlib import Path
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

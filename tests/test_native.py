@@ -1,0 +1,66 @@
+"""Native C++ IO runtime tests: parity with the pure-numpy NIfTI reader."""
+
+import numpy as np
+import pytest
+
+from dose_prediction_tpu.data import nifti
+from dose_prediction_tpu.data.native import (
+    native_available,
+    preprocess_ct_inplace,
+    read_batch_f32,
+    read_volume_f32,
+)
+
+needs_native = pytest.mark.skipif(not native_available(),
+                                  reason="native library unavailable")
+
+
+@needs_native
+def test_native_read_matches_numpy(tmp_path, rng):
+    vol = (rng.standard_normal((9, 7, 5)) * 100).astype(np.float32)
+    path = tmp_path / "v.nii.gz"
+    nifti.write_nifti(path, vol, spacing=(1.5, 2.0, 2.5))
+    out = read_volume_f32(path)
+    assert out is not None
+    data, spacing = out
+    np.testing.assert_allclose(data, vol, rtol=1e-6)
+    np.testing.assert_allclose(spacing, (1.5, 2.0, 2.5), rtol=1e-5)
+
+
+@needs_native
+def test_native_read_int16_scaled(tmp_path, rng):
+    vol = (rng.standard_normal((6, 6, 6)) * 500).astype(np.int16)
+    path = tmp_path / "ct.nii.gz"
+    nifti.write_nifti(path, vol)
+    data, _ = read_volume_f32(path)
+    np.testing.assert_allclose(data, vol.astype(np.float32))
+
+
+@needs_native
+def test_native_batch_load(tmp_path, rng):
+    paths = []
+    vols = []
+    for i in range(5):
+        v = (rng.standard_normal((4 + i, 5, 6)) * 10).astype(np.float32)
+        p = tmp_path / f"v{i}.nii.gz"
+        nifti.write_nifti(p, v)
+        paths.append(p)
+        vols.append(v)
+    out = read_batch_f32(paths, n_threads=3)
+    assert out is not None and len(out) == 5
+    for (data, _), v in zip(out, vols):
+        np.testing.assert_allclose(data, v, rtol=1e-6)
+
+
+def test_preprocess_ct_matches_numpy(rng):
+    buf = (rng.standard_normal(1000) * 2000).astype(np.float32)
+    want = np.clip(buf.copy(), -1024, 1500) / 1000.0
+    got = preprocess_ct_inplace(buf.copy())
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@needs_native
+def test_native_rejects_garbage(tmp_path):
+    p = tmp_path / "junk.nii.gz"
+    p.write_bytes(b"not a nifti at all")
+    assert read_volume_f32(p) is None
