@@ -53,17 +53,20 @@ def main() -> None:
     run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
                           roi_size=(96, 96, 96), sw_batch_size=4)
 
+    def sync(x):
+        # On the axon remote backend block_until_ready returns before the
+        # computation finishes; a scalar host read is the reliable barrier.
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     t0 = time.perf_counter()
-    out = run(ct, ptv, mask)
-    jax.block_until_ready(out)
+    sync(run(ct, ptv, mask))
     compile_s = time.perf_counter() - t0
 
-    n_iters = 20
+    n_iters = 10
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        out = run(ct, ptv, mask)
-        jax.block_until_ready(out)
+        sync(run(ct, ptv, mask))
         times.append(time.perf_counter() - t0)
     p50 = float(np.percentile(times, 50))
     p90 = float(np.percentile(times, 90))
