@@ -97,6 +97,59 @@ def pad_to_shape(x: np.ndarray, target: Sequence[int], *, mode: str = "constant"
     return np.pad(x, pads, mode=mode)
 
 
+def rand_rotate_z(arrays: Arrays, rng: np.random.Generator,
+                  *, angles: Sequence[float] = tuple(range(-40, 41, 5)),
+                  prob: float = 0.5,
+                  orders: Optional[Dict[str, int]] = None,
+                  cvals: Optional[Dict[str, float]] = None) -> Arrays:
+    """Legacy rotation around the z axis (random_rotate_around_z_axis,
+    DataAugmentation/augmentation_OpenKBP_C3D.py:32-55): one angle drawn from
+    ``angles``, applied slice-wise in the (H, W) plane about the slice center,
+    constant border fill. cv2.warpAffine is replaced by scipy.ndimage.rotate
+    (order 1 = bilinear for images, order 0 = nearest for masks)."""
+    from scipy import ndimage
+
+    if rng.random() > prob:
+        return arrays
+    angle = float(angles[int(rng.integers(len(angles)))])
+    out = {}
+    for key, vol in arrays.items():
+        order = (orders or {}).get(key, 1)
+        cval = (cvals or {}).get(key, 0.0)
+        out[key] = ndimage.rotate(
+            vol, angle, axes=(2, 1), reshape=False, order=order,
+            mode="constant", cval=cval).astype(vol.dtype)
+    return out
+
+
+def rand_translate(arrays: Arrays, roi_mask: np.ndarray, rng: np.random.Generator,
+                   *, prob: float = 0.5, max_shift: int = 20,
+                   pad_values: Optional[Dict[str, float]] = None) -> Arrays:
+    """Legacy ROI-preserving random translation (random_translate +
+    random_pad_to_size_3d, augmentation_OpenKBP_C3D.py:59-113): crop to a box
+    that keeps the ROI inside while trimming up to ``max_shift`` border
+    voxels, then re-pad to the original size at a random offset."""
+    if rng.random() > prob or not np.any(roi_mask > 0):
+        return arrays
+    nz = np.where(roi_mask > 0)
+    shape = roi_mask.shape[:3]
+    lo, hi = [], []
+    for ax in range(3):
+        lo.append(min(max_shift - 1, int(np.min(nz[ax]))))
+        hi.append(max(shape[ax] - 1 - max_shift, int(np.max(nz[ax]))))
+    cropped = {k: v[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1]
+               for k, v in arrays.items()}
+    pads = [shape[i] - (hi[i] - lo[i] + 1) for i in range(3)]
+    starts = [int(rng.integers(0, p + 1)) for p in pads]
+    out = {}
+    for k, v in cropped.items():
+        width = [(starts[i], pads[i] - starts[i]) for i in range(3)]
+        width += [(0, 0)] * (v.ndim - 3)
+        out[k] = np.pad(v, width, mode="constant",
+                        constant_values=(pad_values or {}).get(k, 0.0))
+    return out
+
+
 def augment_dose_sample(inp: np.ndarray, gt: np.ndarray,
                         rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
     """The train-time chain for the dose task (crop_flag=False config):

@@ -122,6 +122,56 @@ def postprocess_prediction(pred: np.ndarray, mask: np.ndarray, *, scale: float =
     return scale * out
 
 
+def score_prediction_dirs(prediction_dir: str, gt_dir: str):
+    """Directory-based OpenKBP scoring (get_Dose_score_and_DVH_score,
+    evaluate_openKBP.py:84-146): walk per-patient folders of saved
+    ``dose.nii.gz`` predictions, compare against ground-truth folders.
+
+    Returns (mean_dose_dif, mean_dvh_dif, per-metric gt/pred means).
+    """
+    import os
+
+    from dose_prediction_tpu.data.nifti import read_nifti
+
+    list_dose_dif: List[float] = []
+    list_dvh_dif: List[float] = []
+    sums: Dict[str, Dict[str, List[float]]] = {}
+
+    for patient_id in sorted(os.listdir(prediction_dir)):
+        pred_path = os.path.join(prediction_dir, patient_id, "dose.nii.gz")
+        gt_path = os.path.join(gt_dir, patient_id, "dose.nii.gz")
+        mask_path = os.path.join(gt_dir, patient_id, "possible_dose_mask.nii.gz")
+        if not (os.path.exists(pred_path) and os.path.exists(gt_path)):
+            continue
+        pred = read_nifti(pred_path).data
+        gt = read_nifti(gt_path).data
+        mask = read_nifti(mask_path).data
+        list_dose_dif.append(dose_score(pred, gt, mask))
+        for name in STRUCTURE_NAMES:
+            spath = os.path.join(gt_dir, patient_id, f"{name}.nii.gz")
+            if not os.path.exists(spath):
+                continue
+            simg = read_nifti(spath)
+            mode = "target" if "PTV" in name else "OAR"
+            pm = dvh_metrics(pred, simg.data, mode=mode, spacing=simg.spacing)
+            gm = dvh_metrics(gt, simg.data, mode=mode, spacing=simg.spacing)
+            for metric in gm:
+                list_dvh_dif.append(abs(gm[metric] - pm[metric]))
+                bucket = sums.setdefault(metric, {"gt": [], "pred": [], "dif": []})
+                bucket["gt"].append(gm[metric])
+                bucket["pred"].append(pm[metric])
+                bucket["dif"].append(abs(gm[metric] - pm[metric]))
+
+    metric_means = {
+        m: {k: float(np.mean(v)) for k, v in b.items()} for m, b in sums.items()
+    }
+    return (
+        float(np.mean(list_dose_dif)) if list_dose_dif else float("nan"),
+        float(np.mean(list_dvh_dif)) if list_dvh_dif else float("nan"),
+        metric_means,
+    )
+
+
 # ---------------------------------------------------------------------------
 # segmentation metrics (Dice / HD95, MONAI semantics)
 # ---------------------------------------------------------------------------

@@ -62,10 +62,17 @@ class Attention(fnn.Module):
         # MONAI layout: the fused axis is (qkv, heads, head_dim)
         qkv = qkv.reshape(n, l, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        scores = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32)
-        scores = scores.astype(jnp.float32) * (hd ** -0.5)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        out = jnp.einsum("nhlm,nhmd->nhld", probs, v, preferred_element_type=jnp.float32)
+        from dose_prediction_tpu.core.config import FLAGS, on_tpu
+
+        if FLAGS.use_pallas_attention and on_tpu():
+            from dose_prediction_tpu.kernels.attention import fused_attention
+
+            out = fused_attention(q, k, v)
+        else:
+            scores = jnp.einsum("nhld,nhmd->nhlm", q, k, preferred_element_type=jnp.float32)
+            scores = scores.astype(jnp.float32) * (hd ** -0.5)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            out = jnp.einsum("nhlm,nhmd->nhld", probs, v, preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(n, l, self.hidden_size)
         return Dense(self.hidden_size, dtype=self.dtype, name="out_proj")(out)
 

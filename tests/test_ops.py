@@ -57,6 +57,22 @@ def test_conv3d_matches_torch(rng, k, stride, padding, dilation):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "k,stride,padding,dilation",
+    [(7, 1, 3, 1), (5, 2, 2, 1), (3, 1, 2, 2), (3, 2, 3, 3), (7, 2, 3, 1)],
+)
+def test_conv3d_decomposed_matches_xla(rng, k, stride, padding, dilation):
+    """The depth-decomposed conv path is exactly the rank-5 XLA conv."""
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 12, 6)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, k, k, 6, 4)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    ref = ops.conv3d(x, w, b, stride=stride, padding=padding, dilation=dilation,
+                     method="xla")
+    dec = ops.conv3d(x, w, b, stride=stride, padding=padding, dilation=dilation,
+                     method="decomposed")
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("k,stride,padding", [(2, 2, 0), (4, 2, 1), (3, 1, 1), (2, 2, 0)])
 def test_conv_transpose3d_matches_torch(rng, k, stride, padding):
     n, d, cin, cout = 1, 8, 4, 3
