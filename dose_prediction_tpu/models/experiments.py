@@ -413,6 +413,187 @@ class SharedUNetModel(fnn.Module):
         return out_a, out_b
 
 
+class SharedUNetRModelA(fnn.Module):
+    """Shared-ViT UNETR cascade stub A (:1289-1448): a single UNETR pass whose
+    head is returned for both cascade slots (outA, outA) — the reference's
+    simplified shared variant. ViT taps at 3/6/9 like TranSeg; plain
+    UnetrUpBlock decoders; UnetOutBlock head."""
+
+    out_ch: int = 1
+    feature_size: int = 16
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    num_layers: int = 12
+    patch_size: int = 16
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        from dose_prediction_tpu.nn.unetr import (
+            UnetrBasicBlock,
+            UnetrPrUpBlock,
+            UnetrUpBlock,
+        )
+        from dose_prediction_tpu.nn.vit import ViT3D, unpatchify_tokens
+
+        n, d, h, w, _ = x.shape
+        grid = (d // self.patch_size, h // self.patch_size, w // self.patch_size)
+        fs = self.feature_size
+        z_final, hidden = ViT3D(
+            hidden_size=self.hidden_size, mlp_dim=self.mlp_dim,
+            num_layers=self.num_layers, num_heads=self.num_heads,
+            patch_size=self.patch_size, dtype=self.dtype, name="vit")(x)
+        i = self.num_layers // 4
+        e1 = UnetrBasicBlock(fs, norm=self.norm, dtype=self.dtype, name="skip1")(x)
+        e2 = UnetrPrUpBlock(fs * 2, num_layer=2, norm=self.norm, dtype=self.dtype,
+                            name="skip2")(unpatchify_tokens(hidden[i], grid))
+        e3 = UnetrPrUpBlock(fs * 4, num_layer=1, norm=self.norm, dtype=self.dtype,
+                            name="skip3")(unpatchify_tokens(hidden[i * 2], grid))
+        e4 = UnetrPrUpBlock(fs * 8, num_layer=0, norm=self.norm, dtype=self.dtype,
+                            name="skip4")(unpatchify_tokens(hidden[i * 3], grid))
+        dec4 = unpatchify_tokens(z_final, grid)
+        d4 = UnetrUpBlock(fs * 8, norm=self.norm, dtype=self.dtype, name="decoder4")(dec4, e4)
+        d3 = UnetrUpBlock(fs * 4, norm=self.norm, dtype=self.dtype, name="decoder3")(d4, e3)
+        d2 = UnetrUpBlock(fs * 2, norm=self.norm, dtype=self.dtype, name="decoder2")(d3, e2)
+        d1 = UnetrUpBlock(fs, norm=self.norm, dtype=self.dtype, name="decoder1")(d2, e1)
+        out_a = Conv3D(self.out_ch, 1, padding=0, dtype=self.dtype, name="out_a")(d1)
+        return out_a, out_a
+
+
+class SharedUNetRModel(fnn.Module):
+    """Shared-ViT two-stage UNETR cascade (:1028-1288): ONE ViT encodes both
+    stages (stage A on a 1×1-projected input, stage B on cat(dec_A, input));
+    stage A decodes a 4-level pyramid from taps 2/4/6/8/10, stage B re-taps
+    the ViT and decodes a deeper pyramid through shared decoder stages plus
+    B-only refinement blocks (skipNB).
+    """
+
+    in_ch_b: int
+    out_ch: int = 1
+    feature_size: int = 16
+    hidden_size: int = 768
+    mlp_dim: int = 3072
+    num_heads: int = 12
+    num_layers: int = 12
+    patch_size: int = 16
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        from dose_prediction_tpu.nn.unetr import UnetrPrUpBlock, UnetrUpBlock
+        from dose_prediction_tpu.nn.vit import ViT3D, unpatchify_tokens
+
+        n, d, h, w, cin = x.shape
+        grid = (d // self.patch_size, h // self.patch_size, w // self.patch_size)
+        fs = self.feature_size
+        vit = ViT3D(hidden_size=self.hidden_size, mlp_dim=self.mlp_dim,
+                    num_layers=self.num_layers, num_heads=self.num_heads,
+                    patch_size=self.patch_size, dtype=self.dtype, name="vit")
+        skip1 = UnetrPrUpBlock(fs, num_layer=3, norm=self.norm, dtype=self.dtype, name="skip1")
+        skip2 = UnetrPrUpBlock(fs * 2, num_layer=2, norm=self.norm, dtype=self.dtype, name="skip2")
+        skip3 = UnetrPrUpBlock(fs * 4, num_layer=1, norm=self.norm, dtype=self.dtype, name="skip3")
+        skip4 = UnetrPrUpBlock(fs * 8, num_layer=0, norm=self.norm, dtype=self.dtype, name="skip4")
+        skip5 = Conv3D(fs * 16, 1, padding=0, dtype=self.dtype, name="skip5")
+        dec3 = UnetrUpBlock(fs * 8, norm=self.norm, dtype=self.dtype, name="decoder3")
+        dec2 = UnetrUpBlock(fs * 4, norm=self.norm, dtype=self.dtype, name="decoder2")
+        dec1 = UnetrUpBlock(fs * 2, norm=self.norm, dtype=self.dtype, name="decoder1")
+        dec_a = UnetrUpBlock(fs, norm=self.norm, dtype=self.dtype, name="decoder_a")
+
+        # stage A: project to the shared ViT's channel count
+        xa = Conv3D(self.in_ch_b, 1, padding=0, dtype=self.dtype, name="initial_a")(x)
+        _, hidden = vit(xa)
+        x2a = skip1(unpatchify_tokens(hidden[2], grid))
+        x4a = skip2(unpatchify_tokens(hidden[4], grid))
+        x6a = skip3(unpatchify_tokens(hidden[6], grid))
+        x8a = skip4(unpatchify_tokens(hidden[8], grid))
+        x10a = skip5(unpatchify_tokens(hidden[10], grid))
+        d8 = dec3(x10a, x8a)
+        d6 = dec2(d8, x6a)
+        d4 = dec1(d6, x4a)
+        d2a = dec_a(d4, x2a)
+        out_a = Conv3D(self.out_ch, 1, padding=0, dtype=self.dtype, name="out_a")(d2a)
+
+        # stage B through the SAME ViT and decoder stages
+        xb = jnp.concatenate([d2a, x], axis=-1)
+        if xb.shape[-1] != self.in_ch_b:
+            raise ValueError(
+                f"stage-B input channels {xb.shape[-1]} != in_ch_b {self.in_ch_b} "
+                f"(need feature_size + in_ch == in_ch_b)")
+        z12, hidden_b = vit(xb)
+        x4b = UnetrPrUpBlock(fs * 2, num_layer=0, norm=self.norm, dtype=self.dtype,
+                             name="skip2B")(skip2(unpatchify_tokens(hidden_b[4], grid)))
+        x6b = UnetrPrUpBlock(fs * 4, num_layer=0, norm=self.norm, dtype=self.dtype,
+                             name="skip3B")(skip3(unpatchify_tokens(hidden_b[6], grid)))
+        x8b = UnetrPrUpBlock(fs * 8, num_layer=0, norm=self.norm, dtype=self.dtype,
+                             name="skip4B")(skip4(unpatchify_tokens(hidden_b[8], grid)))
+        x10b = UnetrPrUpBlock(fs * 16, num_layer=0, norm=self.norm, dtype=self.dtype,
+                              name="skip5B")(skip5(unpatchify_tokens(hidden_b[10], grid)))
+        x12b = Conv3D(fs * 32, 1, padding=0, dtype=self.dtype, name="skip6B")(
+            unpatchify_tokens(z12, grid))
+        db = UnetrUpBlock(fs * 16, norm=self.norm, dtype=self.dtype, name="decoder_b")(x12b, x10b)
+        db = dec3(db, x8b)
+        db = dec2(db, x6b)
+        db = dec1(db, x4b)
+        out_b = Conv3D(self.out_ch, 1, padding=0, dtype=self.dtype, name="out_b")(db)
+        return out_a, out_b
+
+
+class MonaiUNet(fnn.Module):
+    """MONAI UNet semantics (residual-unit encoder/decoder U-Net): stride-2
+    conv + residual unit per level, transposed-conv decoder — the net used by
+    ModelMonai (:1522-1554). Channels per level from ``channels``; strides 2."""
+
+    out_ch: int
+    channels: Sequence[int] = (16, 32, 64, 128, 256)
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x):
+        from dose_prediction_tpu.nn.layers import ConvTranspose3D
+        from dose_prediction_tpu.nn.unetr import UnetResBlock
+
+        chans = list(self.channels)
+        skips = []
+        h = x
+        for i, c in enumerate(chans[:-1]):
+            h = UnetResBlock(c, stride=2 if i > 0 else 1, norm=self.norm,
+                             dtype=self.dtype, name=f"down{i}")(h)
+            skips.append(h)
+        h = UnetResBlock(chans[-1], stride=2, norm=self.norm, dtype=self.dtype,
+                         name="bottom")(h)
+        for i in reversed(range(len(chans) - 1)):
+            h = ConvTranspose3D(chans[i], 2, stride=2, use_bias=False,
+                                dtype=self.dtype, name=f"up{i}")(h)
+            h = jnp.concatenate([h, skips[i]], axis=-1)
+            h = UnetResBlock(chans[i], norm=self.norm, dtype=self.dtype,
+                             name=f"dec{i}")(h)
+        return Conv3D(self.out_ch, 1, padding=0, dtype=self.dtype, name="out")(h)
+
+
+class ModelMonai(fnn.Module):
+    """MONAI-UNet cascade (:1522-1554): net_A outputs list_ch_A[1] feature
+    channels, net_B consumes cat(out_A, x) and emits the dose; 1×1 head on A."""
+
+    out_ch: int = 1
+    feat_ch_a: int = 16
+    channels_a: Sequence[int] = (16, 32, 64, 128, 256)
+    channels_b: Sequence[int] = (16, 32, 64, 128, 256)
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x):
+        out_net_a = MonaiUNet(self.feat_ch_a, self.channels_a, dtype=self.dtype,
+                              name="net_A")(x)
+        out_b = MonaiUNet(1, self.channels_b, dtype=self.dtype, name="net_B")(
+            jnp.concatenate([out_net_a, x], axis=-1))
+        out_a = Conv3D(self.out_ch, 1, padding=0, dtype=self.dtype, name="conv_out_A")(out_net_a)
+        return out_a, out_b
+
+
 # ---------------------------------------------------------------------------
 # MedicalNet-style 3D ResNet (GAN discriminator backbone,
 # train_light_gan.py:124-138, create_pretrained_medical_resnet :1555-1588)

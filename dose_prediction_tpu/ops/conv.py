@@ -136,6 +136,7 @@ def conv_transpose3d(
     padding: IntOr3 = 0,
     output_padding: IntOr3 = 0,
     accum_dtype=jnp.float32,
+    method: str = "auto",
 ) -> jax.Array:
     """3D transposed convolution with PyTorch ConvTranspose3d semantics.
 
@@ -162,12 +163,13 @@ def conv_transpose3d(
             raise ValueError("output_padding must be smaller than stride")
         if k - 1 - p < 0:
             raise ValueError("padding too large for kernel")
-    # Fast path for the ubiquitous k == stride, padding 0 up-projection (the
+    # Optional matmul path for k == stride, padding 0 up-projections (the
     # UNETR family's k2 s2 transp convs): output windows don't overlap, so the
     # whole op is ONE (voxels, Cin) @ (Cin, k³·Cout) matmul followed by a
-    # depth-to-space reshuffle — full MXU utilization instead of an
-    # lhs-dilated conv that multiplies mostly zeros.
-    if ks == stride and padding == (0, 0, 0) and output_padding == (0, 0, 0):
+    # depth-to-space reshuffle. Faster in isolation, but measured SLOWER
+    # inside the full models (the interleaving transpose breaks XLA's layout
+    # propagation into the following concat+conv), so it is opt-in.
+    if method == "matmul" and ks == stride and padding == (0, 0, 0) and output_padding == (0, 0, 0):
         n, d, h, wd, cin = x.shape
         cout = w.shape[-1]
         wm = w.transpose(3, 0, 1, 2, 4).reshape(cin, kd * kh * kw * cout)

@@ -340,6 +340,85 @@ class TranSegTrainer:
                 break
 
 
+class ExpModelTrainer:
+    """Pluggable experimental-model harness (train_light_exp_models.py
+    TestModel): any model returning deep-supervision output lists trains with
+    non-cascade GenLoss (:193, huber optional); val/test run sliding-window
+    inference with an ×80 dose scale (:224-227,235)."""
+
+    def __init__(self, cfg: TrainConfig, model, *,
+                 example_shape: Sequence[int] = (1, 128, 128, 128, 9),
+                 huber: bool = False, val_scale: float = 80.0,
+                 roi_size: Sequence[int] = (96, 96, 96)):
+        import optax
+
+        from dose_prediction_tpu.train import losses as L
+
+        self.cfg = cfg
+        self.model = model
+        self.val_scale = val_scale
+        self.roi_size = tuple(roi_size)
+        variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
+        self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
+                                   weight_decay=cfg.weight_decay)
+        self.state = S.create_train_state(variables, self.tx)
+        self.logger = MetricLogger(cfg.log_dir, run_name="exp_model")
+
+        def loss_fn(params, batch_stats, batch):
+            outs, updates = self.model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["input"], train=True, mutable=["batch_stats"])
+            loss = L.gen_loss(outs, batch["gt"], delta1=cfg.delta1,
+                              delta2=cfg.delta2, cascade=False, huber=huber)
+            return loss, updates["batch_stats"]
+
+        @jax.jit
+        def step(state, batch):
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            return state.replace(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats, opt_state=new_opt,
+                moving_loss=S.update_moving_loss(state.moving_loss, loss),
+            ), loss
+
+        self.train_step = step
+
+    def fit(self, train_ds: OpenKBPDataset):
+        cfg = self.cfg
+        global_step = 0
+        for epoch in range(cfg.max_epochs):
+            losses = []
+            for batch in device_prefetch(dose_batches(
+                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                self.state, loss = self.train_step(self.state, batch)
+                losses.append(float(loss))
+                global_step += 1
+                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    return
+            self.logger.log({"train_mean_loss": float(np.mean(losses))}, epoch + 1)
+
+    def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
+        """Sliding-window val: masked MAE × val_scale per patient."""
+        def predict(windows, variables):
+            outs, _ = self.model.apply(variables, windows, train=False,
+                                       mutable=["batch_stats"])
+            return outs[0]
+
+        run = make_sliding_window_fn(predict, roi_size=self.roi_size,
+                                     sw_batch_size=sw_batch_size, out_channels=1)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        scores = []
+        for p in val_ds.patients:
+            pred = np.asarray(run(jnp.asarray(p.model_input[None]), variables))[0, ..., 0]
+            post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
+            scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
+        return float(np.mean(scores))
+
+
 class DoseGANTrainer:
     """DoseGAN (train_light_dosegan.py): alternating G/D updates."""
 

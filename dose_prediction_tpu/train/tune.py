@@ -13,7 +13,7 @@ import dataclasses
 import json
 import math
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -117,6 +117,76 @@ class ASHAScheduler:
                 trial.stopped = True
                 return True
         return False
+
+
+class PopulationBasedScheduler:
+    """PB2-style population-based training (tune_light_pyfer.py:124-145
+    analogue): a population of trials trains in parallel epochs; at each
+    ``perturbation_interval`` the bottom quantile copies the config of a top
+    performer and perturbs continuous hyperparameters by ×0.8 / ×1.25."""
+
+    def __init__(self, *, population: int = 4, perturbation_interval: int = 4,
+                 quantile: float = 0.25, mode: str = "min", seed: int = 0,
+                 bounds: Optional[Dict[str, Tuple[float, float]]] = None):
+        self.population = population
+        self.interval = perturbation_interval
+        self.quantile = quantile
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+        self.bounds = bounds or {}
+
+    def exploit_explore(self, trials: List[Trial]) -> None:
+        """Mutate the bottom quantile in place from the top quantile."""
+        ranked = sorted(trials, key=lambda t: t.last_value,
+                        reverse=(self.mode == "max"))
+        n_q = max(1, int(len(ranked) * self.quantile))
+        top, bottom = ranked[:n_q], ranked[-n_q:]
+        for t in bottom:
+            src = top[int(self.rng.integers(len(top)))]
+            new_cfg = dict(src.config)
+            for k, v in new_cfg.items():
+                if isinstance(v, float):
+                    factor = 0.8 if self.rng.random() < 0.5 else 1.25
+                    nv = v * factor
+                    if k in self.bounds:
+                        lo, hi = self.bounds[k]
+                        nv = float(np.clip(nv, lo, hi))
+                    new_cfg[k] = nv
+            t.config = new_cfg
+
+
+def run_pbt(
+    train_epoch: Callable[[Dict[str, Any], Any, int], Tuple[Any, float]],
+    init_trial_state: Callable[[Dict[str, Any]], Any],
+    *,
+    space: Optional[Dict[str, Any]] = None,
+    scheduler: Optional[PopulationBasedScheduler] = None,
+    num_epochs: int = 16,
+    seed: int = 0,
+) -> Dict[str, Any]:
+    """Population-based training loop.
+
+    ``init_trial_state(config)`` builds per-trial mutable state (train state);
+    ``train_epoch(config, trial_state, epoch) -> (trial_state, metric)`` runs
+    one epoch. Population members run round-robin on the single chip.
+    """
+    space = space if space is not None else PYFER_SEARCH_SPACE
+    scheduler = scheduler or PopulationBasedScheduler(seed=seed)
+    rng = np.random.default_rng(seed)
+    trials = [Trial(trial_id=i, config=sample_config(space, rng))
+              for i in range(scheduler.population)]
+    states = [init_trial_state(t.config) for t in trials]
+    for epoch in range(num_epochs):
+        for t, i in zip(trials, range(len(trials))):
+            states[i], metric = train_epoch(t.config, states[i], epoch)
+            t.last_value = metric
+            t.history.append(metric)
+        if (epoch + 1) % scheduler.interval == 0:
+            scheduler.exploit_explore(trials)
+    best = (max if scheduler.mode == "max" else min)(
+        trials, key=lambda t: t.last_value)
+    return {"best_config": best.config, "best_value": best.last_value,
+            "trials": [dataclasses.asdict(t) for t in trials]}
 
 
 def run_search(

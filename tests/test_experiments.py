@@ -59,6 +59,45 @@ def test_shared_unet_model_weight_sharing():
     assert "shared_encoder" in v["params"] and "shared_decoder" in v["params"]
 
 
+def test_shared_unetr_model_a():
+    from dose_prediction_tpu.models.experiments import SharedUNetRModelA
+
+    x = jnp.zeros((1, 32, 32, 32, 9))
+    m = SharedUNetRModelA(out_ch=1, feature_size=2, hidden_size=24, mlp_dim=48,
+                          num_layers=12, num_heads=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    (a, b), _ = m.apply(v, x, mutable=["batch_stats"])
+    assert a.shape == (1, 32, 32, 32, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shared_unetr_model():
+    from dose_prediction_tpu.models.experiments import SharedUNetRModel
+
+    # in_ch_b must equal feature_size + in_ch for the stage-B concat
+    x = jnp.zeros((1, 32, 32, 32, 9))
+    m = SharedUNetRModel(in_ch_b=2 + 9, out_ch=1, feature_size=2, hidden_size=24,
+                         mlp_dim=48, num_layers=12, num_heads=2)
+    v = m.init(jax.random.PRNGKey(0), x)
+    (a, b), _ = m.apply(v, x, mutable=["batch_stats"])
+    # stage A decodes from tap 10 (16× up through 4 stages from 2³ grid ⇒ 32³)
+    assert a.shape == (1, 32, 32, 32, 1)
+    assert b.shape == (1, 32, 32, 32, 1)
+    # the ViT is genuinely shared
+    assert "vit" in v["params"] and "skip2B" in v["params"]
+
+
+def test_model_monai_cascade():
+    from dose_prediction_tpu.models.experiments import ModelMonai
+
+    x = jnp.zeros((1, 32, 32, 32, 9))
+    m = ModelMonai(out_ch=1, feat_ch_a=4, channels_a=(4, 8, 16), channels_b=(4, 8, 16))
+    v = m.init(jax.random.PRNGKey(0), x)
+    a, b = m.apply(v, x)
+    assert a.shape == (1, 32, 32, 32, 1)
+    assert b.shape == (1, 32, 32, 32, 1)
+
+
 def test_resnet10_critic():
     x = jnp.zeros((2, 32, 32, 32, 1))
     model = resnet10(num_classes=1)
