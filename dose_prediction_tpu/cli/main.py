@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     tr = sub.add_parser("train", help="train a model")
-    tr.add_argument("model", choices=["pyfer", "c3d", "hdunet", "transeg", "dosegan"])
+    tr.add_argument("model", choices=["pyfer", "c3d", "hdunet", "transeg",
+                                      "dosegan", "vitgan", "exp"])
     _add_common(tr)
     tr.add_argument("--pretrained-c3d", default=None,
                     help="checkpoint dir of a trained C3D cascade (net_A surgery)")
@@ -110,9 +111,19 @@ def main(argv=None) -> int:
             trainer = HDUNetTrainer(cfg)
         elif args.model == "transeg":
             trainer = TranSegTrainer(cfg)
+        elif args.model == "vitgan":
+            from dose_prediction_tpu.train.gan import VitGANTrainer
+            trainer = VitGANTrainer(cfg)
+        elif args.model == "exp":
+            from dose_prediction_tpu.models.experiments import VitGenerator
+            from dose_prediction_tpu.train.trainers import ExpModelTrainer
+            trainer = ExpModelTrainer(cfg, VitGenerator(mode_multi_dec=True, act="mish"))
         else:
             trainer = DoseGANTrainer(cfg)
-        trainer.fit(train_ds, val_ds) if args.model != "dosegan" else trainer.fit(train_ds)
+        if args.model in ("dosegan", "vitgan", "exp"):
+            trainer.fit(train_ds)
+        else:
+            trainer.fit(train_ds, val_ds)
         return 0
 
     if args.cmd == "eval":

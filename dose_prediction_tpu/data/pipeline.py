@@ -79,6 +79,31 @@ def seg_batches(
         yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
 
 
+def linked_batches(
+    dataset: OpenKBPDataset,
+    *,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Linked-model batches (dataloader_OpenKBP_linked_monai.py:203-209):
+    Input = (CT, PTV) 2ch; GT = (label-encoded OARs, dose, dose_mask) 3ch."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        inputs, gts = [], []
+        for j in idx:
+            p = dataset[int(j)]
+            inputs.append(np.stack([p.ct, p.ptv], axis=-1).astype(np.float32))
+            gts.append(np.stack([
+                p.oars_label_encoded.astype(np.float32), p.dose, p.dose_mask,
+            ], axis=-1).astype(np.float32))
+        yield {"input": np.stack(inputs), "gt": np.stack(gts)}
+
+
 def device_prefetch(iterator: Iterator, *, size: int = 2,
                     sharding=None) -> Iterator:
     """Run the host iterator in a thread and keep ``size`` batches resident on

@@ -58,8 +58,13 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, sum_ref, sumsq_ref,
 
 
 def _choose_chunk(s: int, c: int, dtype_bytes: int = 4) -> int:
-    """Pick a spatial chunk so (chunk, C) fits comfortably in VMEM (~4 MB)."""
-    budget = 4 * 1024 * 1024 // (c * dtype_bytes)
+    """Pick a spatial chunk so the (chunk, C) block fits in VMEM.
+
+    VMEM blocks are padded to 128 lanes on the minor axis, so a narrow-C
+    block physically occupies chunk × max(C,128) elements; with double
+    buffering on both input and output windows, budget ~1.5 MB per block."""
+    row_bytes = max(c, 128) * dtype_bytes
+    budget = (3 * 1024 * 1024 // 2) // row_bytes
     chunk = max(8, min(s, budget))
     while s % chunk:
         chunk -= 1

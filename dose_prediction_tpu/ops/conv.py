@@ -34,6 +34,14 @@ def _triple(v: IntOr3) -> Tuple[int, int, int]:
     return t  # type: ignore[return-value]
 
 
+def _pet(x_dtype, accum_dtype):
+    """preferred_element_type guard: this JAX version's conv transpose rule
+    rejects mixed dtypes, so upcasting outputs breaks training with bf16
+    inputs. The TPU MXU accumulates bf16 convs in f32 internally regardless,
+    so dropping the explicit upcast costs only output rounding."""
+    return accum_dtype if jnp.dtype(x_dtype) == jnp.dtype(accum_dtype) else None
+
+
 def _conv3d_xla(x, w, b, stride, padding, dilation, groups, accum_dtype):
     dn = lax.conv_dimension_numbers(x.shape, w.shape, _DIMENSION_NUMBERS)
     out = lax.conv_general_dilated(
@@ -44,10 +52,10 @@ def _conv3d_xla(x, w, b, stride, padding, dilation, groups, accum_dtype):
         rhs_dilation=dilation,
         dimension_numbers=dn,
         feature_group_count=groups,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_pet(x.dtype, accum_dtype),
     )
     if b is not None:
-        out = out + b.astype(accum_dtype)
+        out = out.astype(accum_dtype) + b.astype(accum_dtype)
     return out.astype(x.dtype)
 
 
@@ -78,8 +86,8 @@ def _conv3d_decomposed(x, w, b, stride, padding, dilation, accum_dtype):
         y = lax.conv_general_dilated(
             sl, w2, (sh, sw), [(ph, ph), (pw, pw)],
             rhs_dilation=(dh_, dw_), dimension_numbers=dn,
-            preferred_element_type=accum_dtype,
-        )
+            preferred_element_type=_pet(x.dtype, accum_dtype),
+        ).astype(accum_dtype)  # tap accumulation in f32
         out = y if out is None else out + y
     out = out.reshape(n, out_d, out.shape[1], out.shape[2], cout)
     if b is not None:
@@ -198,10 +206,10 @@ def conv_transpose3d(
         padding=pad_cfg,
         lhs_dilation=stride,
         dimension_numbers=dn,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=_pet(x.dtype, accum_dtype),
     )
     if b is not None:
-        out = out + b.astype(accum_dtype)
+        out = out.astype(accum_dtype) + b.astype(accum_dtype)
     return out.astype(x.dtype)
 
 

@@ -1,0 +1,51 @@
+"""CLI tests: parsing + a real end-to-end train run through the entry point."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from dose_prediction_tpu.cli.main import build_parser
+from dose_prediction_tpu.data.synthetic import make_synthetic_dataset
+
+
+def test_parser_covers_subcommands():
+    ap = build_parser()
+    args = ap.parse_args(["train", "pyfer", "--data", "x/pt_*", "--max-steps", "2"])
+    assert args.cmd == "train" and args.model == "pyfer" and args.max_steps == 2
+    args = ap.parse_args(["tune", "--data", "x", "--num-samples", "3"])
+    assert args.num_samples == 3
+    args = ap.parse_args(["kfold", "--data", "x", "--folds", "4"])
+    assert args.folds == 4
+    with pytest.raises(SystemExit):
+        ap.parse_args(["train", "nonsense", "--data", "x"])
+
+
+def test_cli_help_no_jax(tmp_path):
+    """--help must work without initializing a backend."""
+    out = subprocess.run(
+        [sys.executable, "-m", "dose_prediction_tpu", "--help"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": "."},
+        cwd="/root/repo")
+    assert out.returncode == 0
+    assert "train" in out.stdout and "kfold" in out.stdout
+
+
+def test_cli_train_c3d_end_to_end(tmp_path):
+    """Full vertical through the CLI: synthetic data -> 2 train steps."""
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2, shape=(16, 16, 16))
+    from dose_prediction_tpu.cli.main import main
+
+    rc = main([
+        "train", "c3d", "--data", pattern, "--epochs", "1", "--max-steps", "2",
+        "--batch-size", "1", "--lr", "1e-3",
+        "--ckpt-dir", str(tmp_path / "ckpt"), "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    metrics = (tmp_path / "logs" / "metrics.jsonl").read_text().strip().splitlines()
+    rec = json.loads(metrics[-1])
+    assert np.isfinite(rec["train_mean_loss"])

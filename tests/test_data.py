@@ -119,6 +119,20 @@ def test_rand_crop_pos_neg_bias(rng):
     assert hits > trials * 0.4
 
 
+def test_linked_batches(tmp_path):
+    from dose_prediction_tpu.data.openkbp import OpenKBPDataset
+    from dose_prediction_tpu.data.pipeline import linked_batches
+
+    pattern = make_synthetic_dataset(tmp_path, n_patients=2, shape=(16, 16, 16))
+    ds = OpenKBPDataset(pattern)
+    batches = list(linked_batches(ds, batch_size=1, shuffle=False))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["input"].shape == (1, 16, 16, 16, 2)   # CT, PTV
+    assert b["gt"].shape == (1, 16, 16, 16, 3)      # OARs, dose, mask
+    assert b["gt"][..., 0].max() <= 7               # label-encoded OARs
+
+
 def test_augment_seg_sample(rng):
     ct = rng.standard_normal((20, 20, 20)).astype(np.float32)
     labels = (rng.random((20, 20, 20)) > 0.9).astype(np.float32)
