@@ -128,7 +128,7 @@ def conv3d(
     dilation = _triple(dilation)
     kd = w.shape[0]
     use_decomp = method == "decomposed" or (
-        method == "auto" and groups == 1 and (kd >= 5 or dilation[0] > 1)
+        method == "auto" and groups == 1 and (kd >= 3 or dilation[0] > 1)
     )
     if use_decomp:
         return _conv3d_decomposed(x, w, b, stride, padding, dilation, accum_dtype)
