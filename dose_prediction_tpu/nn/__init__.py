@@ -12,6 +12,7 @@ from dose_prediction_tpu.nn.layers import (
     make_norm,
 )
 from dose_prediction_tpu.nn.mdunet import (
+    AblationDualDilatedBlock,
     Conv31,
     ConvBlockK,
     DualDilatedBlock,

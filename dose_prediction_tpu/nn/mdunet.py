@@ -101,6 +101,29 @@ class DualDilatedBlock(fnn.Module):
         return act(InstanceNorm(affine=False, name="fuse_norm")(y))
 
 
+class AblationDualDilatedBlock(fnn.Module):
+    """Ablation variant (blocks_MDUNet_ablation.py:118-140): same 3-branch
+    topology but BatchNorm everywhere, Mish in the k3 branch and ReLU in the
+    dilated branches + fuse (the commented-out act switches in the ablation
+    file resolve to exactly this)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, train: bool = True):
+        x3 = ConvBlockK(self.features, 3, norm="batch", act="mish",
+                        dtype=self.dtype, name="branch3")(x, train)
+        x5 = ConvBlockK(self.features, 3, dilation=2, norm="batch", act="relu",
+                        dtype=self.dtype, name="branch5")(x, train)
+        x7 = ConvBlockK(self.features, 3, dilation=3, norm="batch", act="relu",
+                        dtype=self.dtype, name="branch7")(x, train)
+        y = jnp.concatenate([x3, x5, x7], axis=-1)
+        y = Conv3D(self.features, 1, padding=0, dtype=self.dtype, name="fuse")(y)
+        y = BatchNorm(name="fuse_norm")(y, use_running_average=not train)
+        return ops.relu(y)
+
+
 class MultiScaleConv(fnn.Module):
     """k3‖k5‖k7 (conv+ReLU, bias-free, no norm) → concat → 1×1 conv+ReLU
     (convs.py:41-61)."""

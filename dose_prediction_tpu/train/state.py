@@ -94,6 +94,40 @@ def make_optimizer(
     return tx
 
 
+def make_split_lr_optimizer(
+    *,
+    lr_encoder: float | optax.Schedule,
+    lr_decoder: float | optax.Schedule,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    encoder_key: str = "encoder",
+) -> optax.GradientTransformation:
+    """Split encoder/decoder learning rates (NetworkTrainer.set_optimizer,
+    network_trainer.py:110-118): params under any path component containing
+    ``encoder_key`` get lr_encoder, the rest lr_decoder."""
+
+    def make(lr):
+        if weight_decay:
+            return optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+        return optax.adam(lr, b1=b1, b2=b2, eps=eps)
+
+    def label_fn(params):
+        return label_params_by_path(
+            params, lambda keys: any(encoder_key in k for k in keys)
+        )
+
+    # label_params_by_path labels 'frozen' when predicate true; rename here
+    def relabel(params):
+        tree = label_fn(params)
+        return jax.tree.map(lambda l: "enc" if l == "frozen" else "dec", tree)
+
+    return optax.multi_transform(
+        {"enc": make(lr_encoder), "dec": make(lr_decoder)}, relabel
+    )
+
+
 # ---------------------------------------------------------------------------
 # LR schedules (NetworkTrainer.set_lr_scheduler parity, network_trainer.py:127-153)
 # ---------------------------------------------------------------------------
