@@ -1,0 +1,88 @@
+"""Tests for the block-wise 8-bit Adam (bitsandbytes Adam8bit analogue)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dose_prediction_tpu.train.adam8bit import (
+    Adam8bitState,
+    Quantized,
+    _dequantize,
+    _quantize,
+    adam8bit,
+    state_nbytes,
+)
+
+
+def test_quantize_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal(10000).astype(np.float32) * 3)
+    q = _quantize(x, 2048)
+    back = _dequantize(q, x.shape)
+    # per-block error bounded by scale/127 ~ absmax/127
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    assert err.max() <= float(np.abs(np.asarray(x)).max()) / 127.0 + 1e-6
+
+
+def test_adam8bit_matches_adam_trajectory(rng):
+    """On a quadratic, the 8-bit trajectory tracks exact adam closely."""
+    w0 = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    target = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+
+    def loss(w):
+        return jnp.mean((w - target) ** 2)
+
+    def run(tx):
+        w = w0
+        state = tx.init(w)
+        for _ in range(50):
+            g = jax.grad(loss)(w)
+            updates, state = tx.update(g, state, w)
+            w = optax.apply_updates(w, updates)
+        return w
+
+    w_exact = run(optax.adam(1e-2))
+    w_8bit = run(adam8bit(1e-2, min_quantize_size=1))
+    # 8-bit must optimize as well as exact adam (within 10%)...
+    assert float(loss(w_8bit)) < float(loss(w_exact)) * 1.1
+    # ...and its trajectory must track the exact one (quantization noise only)
+    diff = float(jnp.mean(jnp.abs(w_exact - w_8bit)))
+    scale = float(jnp.mean(jnp.abs(w_exact - w0)))
+    assert diff < 0.25 * scale
+
+
+def test_adam8bit_state_memory_savings(rng):
+    params = {"big": jnp.zeros((512, 512)), "small": jnp.zeros((17,))}
+    tx = adam8bit(1e-3)
+    state = tx.init(params)
+    nbytes = state_nbytes(state)
+    f32_bytes = 2 * (512 * 512 + 17) * 4
+    assert nbytes < f32_bytes / 3  # ~3.5x saving on moments
+    # small tensors stay f32
+    small_idx = [i for i, p in enumerate(jax.tree.leaves(params)) if p.size == 17][0]
+    assert not isinstance(state.mu[small_idx], Quantized)
+
+
+def test_adam8bit_in_train_state(rng):
+    """Plugs into the framework's TrainState + step machinery."""
+    from dose_prediction_tpu.models import BaseUNet
+    from dose_prediction_tpu.train import state as S
+    from dose_prediction_tpu.train.steps import make_simple_dose_train_step
+    from dose_prediction_tpu.models.hdunet import HDUNet
+
+    model = HDUNet(growth_rate=2, upsample_chan=4)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 9)).astype(np.float32))
+    gt = jnp.concatenate([
+        jnp.abs(jnp.asarray(rng.standard_normal((1, 16, 16, 16, 1)).astype(np.float32))),
+        jnp.ones((1, 16, 16, 16, 1), jnp.float32)], -1)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    tx = adam8bit(1e-3, weight_decay=1e-4, min_quantize_size=64)
+    state = S.create_train_state(variables, tx)
+    step = make_simple_dose_train_step(model, tx)
+    batch = {"input": x, "gt": gt}
+    state, l1 = step(state, batch)
+    state, l2 = step(state, batch)
+    state, l3 = step(state, batch)
+    assert float(l3) < float(l1)
