@@ -26,6 +26,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=0.0006130697604327541)
     p.add_argument("--weight-decay", type=float, default=0.00016303111017674179)
+    p.add_argument("--optimizer", choices=["adamw", "adam8bit"], default="adamw")
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
@@ -90,6 +91,7 @@ def main(argv=None) -> int:
             batch_size=args.batch_size, learning_rate=args.lr,
             weight_decay=args.weight_decay, ckpt_dir=args.ckpt_dir,
             log_dir=args.log_dir, seed=args.seed, max_steps=args.max_steps,
+            optimizer=getattr(args, "optimizer", "adamw"),
             delta1=getattr(args, "delta1", 10.0), delta2=getattr(args, "delta2", 8.0),
             freeze_net_a=not getattr(args, "no_freeze", False),
         )

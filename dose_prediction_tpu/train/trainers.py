@@ -56,6 +56,7 @@ class TrainConfig:
     delta1: float = 10.0             # main(delta1=10)
     delta2: float = 8.0              # main(delta2=8)
     freeze_net_a: bool = True
+    optimizer: str = "adamw"         # 'adamw' | 'adam8bit' (bnb Adam8bit analogue)
     seed: int = 0
     ckpt_dir: str = "checkpoints"
     log_dir: str = "logs"
@@ -79,7 +80,7 @@ class PyferTrainer:
         freeze_labels = S.cascade_freeze_labels(params) if cfg.freeze_net_a else None
         self.tx = S.make_optimizer(
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
-            freeze_labels=freeze_labels)
+            freeze_labels=freeze_labels, kind=cfg.optimizer)
         self.state = S.create_train_state(variables, self.tx)
         self.train_step = STEP.make_pyfer_train_step(
             self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
