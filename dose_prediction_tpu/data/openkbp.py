@@ -24,7 +24,7 @@ import os
 from dataclasses import dataclass
 from glob import glob
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -11,12 +11,12 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import jax
 import numpy as np
 
-from dose_prediction_tpu.data.openkbp import OpenKBPDataset, Patient
+from dose_prediction_tpu.data.openkbp import OpenKBPDataset
 from dose_prediction_tpu.data.transforms import augment_dose_sample, augment_seg_sample
 
 

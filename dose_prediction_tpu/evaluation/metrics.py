@@ -7,7 +7,7 @@ equivalents with static shapes for use inside jit (validation loops).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ Matplotlib is imported lazily so headless metric-only runs never touch it.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

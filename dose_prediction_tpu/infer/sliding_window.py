@@ -23,7 +23,6 @@ serialized into the HLO upload.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, List, Sequence, Tuple
 
 import jax

@@ -23,7 +23,7 @@ blocks rather than transcribed:
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import flax.linen as fnn
 import jax

@@ -12,7 +12,7 @@ MedicalNet-style 3D ResNet-10. Reference semantics (train_light_gan.py):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ each fold trains a fresh Pyfer and can resume from its own checkpoint dir
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ static shapes. All reductions run in float32.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the same subtree surface a torch ``requires_grad=False`` loop touches.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax
 import jax

@@ -9,7 +9,7 @@ shardings; the step itself is mesh-agnostic SPMD code).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,15 +28,27 @@ def make_pyfer_train_step(
     delta2: float = 8.0,
     freeze: bool = True,
     donate: bool = True,
+    remat: bool = False,
 ):
     """DOSE-PYFER step (train_light_pyfer.py:122-143): GenLoss deep supervision
-    over the cascade output, frozen net_A by default."""
+    over the cascade output, frozen net_A by default.
+
+    ``remat=True`` rematerializes the forward during backprop
+    (jax.checkpoint), trading ~⅓ more FLOPs for activation memory — enables
+    larger batches / volumes than the 16 GB HBM otherwise allows.
+    """
+
+    def apply_fn(params, batch_stats, x):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x, train=True, mutable=["batch_stats"],
+        )
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
 
     def loss_fn(params, batch_stats, batch):
-        (pred_a, preds_b), updates = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["input"], train=True, mutable=["batch_stats"],
-        )
+        (pred_a, preds_b), updates = apply_fn(params, batch_stats, batch["input"])
         loss = L.gen_loss(
             (pred_a, preds_b), batch["gt"],
             delta1=delta1, delta2=delta2, cascade=True, freeze=freeze,

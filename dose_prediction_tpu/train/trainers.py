@@ -18,9 +18,7 @@ Hyperparameter defaults are the reference's tuned values
 from __future__ import annotations
 
 import dataclasses
-import time
-from pathlib import Path
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
