@@ -29,7 +29,7 @@ def cumulative_dvh(dose: np.ndarray, roi_mask: np.ndarray,
     hist, _ = np.histogram(roi_dose, edges)
     c = np.cumsum(hist)
     if c[-1] == 0:
-        return np.zeros(bins - 1)
+        return np.zeros(bins)
     return 1.0 - c / c.max()
 
 
@@ -43,7 +43,7 @@ def plot_dvh(pred: np.ndarray, gt: np.ndarray,
     import matplotlib.pyplot as plt
 
     inv = DVH_MAX_GY / DVH_BINS
-    x = np.arange(0, DVH_BINS - 1) * inv
+    x = np.arange(0, DVH_BINS) * inv
     colors = list(mcolors.TABLEAU_COLORS.values())
     fig = plt.figure(dpi=150)
     legend_handles = []
