@@ -50,8 +50,11 @@ def main() -> None:
     seg_vars = jax.jit(seg.init)(jax.random.PRNGKey(1), jnp.zeros((1, 96, 96, 96, 1), dtype))
     dose_vars = jax.jit(dose.init)(jax.random.PRNGKey(2), jnp.zeros((1, 128, 128, 128, 9), dtype))
 
+    # sw_batch_size is a pure performance knob (the overlap blend is exact
+    # for any batching); 8 puts all windows of the 128³ grid in one predictor
+    # call: measured 425 -> 377 ms for the sweep vs sw=4.
     run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
-                          roi_size=(96, 96, 96), sw_batch_size=4)
+                          roi_size=(96, 96, 96), sw_batch_size=8)
 
     def sync(x):
         # On the axon remote backend block_until_ready returns before the
