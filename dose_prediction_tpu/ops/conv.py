@@ -171,8 +171,39 @@ def conv_transpose3d(
             raise ValueError("output_padding must be smaller than stride")
         if k - 1 - p < 0:
             raise ValueError("padding too large for kernel")
-    # Optional matmul path for k == stride, padding 0 up-projections (the
-    # UNETR family's k2 s2 transp convs): output windows don't overlap, so the
+    # Depth-phase decomposition for kd == sd, pd == 0 (every UNETR k2 s2
+    # up-projection): each output depth plane y[:, sd·z + a] receives
+    # contribution from exactly one input plane through the 2D tap w[a], so
+    # the op is kd independent rank-4 transposed convs (depth folded into the
+    # batch) interleaved along depth — the same rank-5→rank-4 rewrite that
+    # speeds the forward convs.
+    if (
+        method in ("auto", "depth") and kd == stride[0] and padding[0] == 0
+        and output_padding == (0, 0, 0)
+    ):
+        n, d, h, wd, cin = x.shape
+        cout = w.shape[-1]
+        x4 = x.reshape(n * d, h, wd, cin)
+        planes = []
+        for a in range(kd):
+            w2 = w[a, ::-1, ::-1]                     # (kh, kw, cin, cout), flipped
+            dn = lax.conv_dimension_numbers(x4.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+            pad2 = [(kh - 1 - padding[1], kh - 1 - padding[1]),
+                    (kw - 1 - padding[2], kw - 1 - padding[2])]
+            y = lax.conv_general_dilated(
+                x4, w2, (1, 1), pad2, lhs_dilation=(stride[1], stride[2]),
+                dimension_numbers=dn,
+                preferred_element_type=_pet(x.dtype, accum_dtype),
+            )
+            planes.append(y)
+        out = jnp.stack(planes, axis=1)               # (N·D, kd, H', W', Cout)
+        oh, ow = out.shape[2], out.shape[3]
+        out = out.reshape(n, d * kd, oh, ow, cout)
+        if b is not None:
+            out = out.astype(accum_dtype) + b.astype(accum_dtype)
+        return out.astype(x.dtype)
+
+    # Optional matmul path for k == stride, padding 0 up-projections: the
     # whole op is ONE (voxels, Cin) @ (Cin, k³·Cout) matmul followed by a
     # depth-to-space reshuffle. Faster in isolation, but measured SLOWER
     # inside the full models (the interleaving transpose breaks XLA's layout
