@@ -34,7 +34,9 @@ def test_remat_loss_and_grads_match(rng):
     l_plain, g_plain = jax.value_and_grad(make_loss(apply_fn))(params)
     l_remat, g_remat = jax.value_and_grad(make_loss(jax.checkpoint(apply_fn)))(params)
 
-    assert float(l_plain) == float(l_remat)
+    # remat changes op scheduling/fusion, so values agree only to fp32
+    # reassociation tolerance, not bitwise
+    np.testing.assert_allclose(float(l_plain), float(l_remat), rtol=1e-5)
     # gradients agree to fp32 reassociation tolerance at the GLOBAL gradient
     # scale: per-leaf scaling is ill-posed for leaves whose true gradient is
     # analytically zero (biases feeding InstanceNorm — a shift cancels), where
