@@ -149,6 +149,81 @@ def sliding_window_inference(
     return out
 
 
+def sliding_window_inference_sharded(
+    volume: jax.Array,
+    predictor: Callable,
+    mesh,
+    *,
+    axis: str = "data",
+    roi_size: Sequence[int] = (96, 96, 96),
+    overlap: float = 0.25,
+    mode: str = "constant",
+    out_channels: int | None = None,
+    predictor_args: Tuple = (),
+) -> jax.Array:
+    """Multi-chip sliding window: the WINDOW batch is sharded over a mesh axis
+    (the workload's closest analogue to sequence parallelism — SURVEY.md §5.7:
+    spatial tiling sharded across devices).
+
+    All windows are gathered into one (n_win, *roi, C) batch whose leading dim
+    carries a sharding constraint on ``axis``; each device runs the predictor
+    on its shard, and the blend (a linear scatter-add) runs on the gathered
+    results. GSPMD inserts the all-gather over ICI. n_win is padded to a
+    multiple of the axis size by repeating the last window (exactly divided
+    out by the count channel, like sw-batch padding in the local engine).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if volume.shape[0] != 1:
+        raise ValueError("sliding_window_inference_sharded expects batch size 1")
+    _, d, h, w, c = volume.shape
+    roi = tuple(int(r) for r in roi_size)
+    pads = [max(0, roi[i] - volume.shape[1 + i]) for i in range(3)]
+    if any(pads):
+        volume = jnp.pad(volume, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
+    full = volume.shape[1:4]
+
+    grid = window_grid(full, roi, overlap)
+    n_dev = mesh.shape[axis]
+    n_win = len(grid)
+    padded = grid + [grid[-1]] * ((-n_win) % n_dev)
+    starts = jnp.asarray(padded, jnp.int32)
+    c_out = int(out_channels) if out_channels is not None else c
+    imp = _importance_map(roi, mode)
+
+    def gather_one(start):
+        return jax.lax.dynamic_slice(
+            volume, (0, start[0], start[1], start[2], 0), (1, *roi, c))[0]
+
+    def run(volume, starts, *p_args):
+        wins = jax.vmap(gather_one)(starts)
+        wins = jax.lax.with_sharding_constraint(
+            wins, NamedSharding(mesh, P(axis)))
+        preds = predictor(wins, *p_args).astype(jnp.float32)
+        preds = jax.lax.with_sharding_constraint(
+            preds, NamedSharding(mesh, P(axis)))
+        contrib = jnp.concatenate(
+            [preds * imp[None],
+             jnp.broadcast_to(imp[None], (len(padded), *roi, 1))], axis=-1)
+
+        def scatter(acc, i):
+            s = starts[i]
+            idx = (s[0], s[1], s[2], 0)
+            patch = jax.lax.dynamic_slice(acc, idx, (*roi, c_out + 1))
+            return jax.lax.dynamic_update_slice(acc, patch + contrib[i], idx), None
+
+        acc, _ = jax.lax.scan(scatter, jnp.zeros((*full, c_out + 1), jnp.float32),
+                              jnp.arange(len(padded)))
+        return acc[..., :c_out] / acc[..., c_out:]
+
+    with mesh:
+        out = jax.jit(run)(volume, starts, *predictor_args)
+    out = out[None]
+    if any(pads):
+        out = out[:, :d, :h, :w]
+    return out
+
+
 def make_sliding_window_fn(
     predictor: Callable,
     *,

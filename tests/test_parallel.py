@@ -70,6 +70,27 @@ def test_param_shardings_skips_indivisible():
     assert sh["vit"]["attn"]["qkv"]["kernel"].spec == P(None, None)
 
 
+def test_sharded_sliding_window_matches_local(rng):
+    """Window-batch-sharded sliding window == the local engine exactly."""
+    from dose_prediction_tpu.infer.sliding_window import (
+        sliding_window_inference,
+        sliding_window_inference_sharded,
+    )
+
+    mesh = data_parallel_mesh(8)
+    vol = jnp.asarray(rng.standard_normal((1, 24, 24, 24, 2)).astype(np.float32))
+
+    def predictor(wins):
+        return wins * 2.0 + 1.0
+
+    local = sliding_window_inference(vol, predictor, roi_size=(16, 16, 16),
+                                     sw_batch_size=2)
+    sharded = sliding_window_inference_sharded(
+        vol, predictor, mesh, roi_size=(16, 16, 16))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(local),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path end-to-end on 8 CPU devices."""
     import importlib.util
