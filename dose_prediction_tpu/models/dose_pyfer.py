@@ -80,23 +80,32 @@ class PyMSCDecoder(fnn.Module):
     mode_multi: bool = False
     act: str = "relu"
     multiS_conv: bool = True
+    # rematerialize each decoder stage during backprop (per-block remat: the
+    # multi-scale stages at full resolution dominate activation memory;
+    # whole-model jax.checkpoint measured WORSE peak memory)
+    remat_blocks: bool = False
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, enc_outs, train: bool = True) -> List[jax.Array]:
         e1, e2, e3, e4, e5 = enc_outs
         fs = self.feature_size
+        mod_cls = ModifiedUnetrUpBlock
+        up_cls = UnetrUpBlock
+        if self.remat_blocks:
+            mod_cls = fnn.remat(ModifiedUnetrUpBlock, static_argnums=(3,))
+            up_cls = fnn.remat(UnetrUpBlock)
         stages = []
         x = e5
         for idx, (features, skip) in enumerate(((fs * 8, e4), (fs * 4, e3), (fs * 2, e2), (fs, e1))):
             name = f"decoder{4 - idx}"
             if self.mode_multi:
-                x = ModifiedUnetrUpBlock(
+                x = mod_cls(
                     features, act=self.act, multiS_conv=self.multiS_conv,
                     dtype=self.dtype, name=name,
                 )(x, skip, train)
             else:
-                x = UnetrUpBlock(features, norm=self.norm, dtype=self.dtype, name=name)(x, skip)
+                x = up_cls(features, norm=self.norm, dtype=self.dtype, name=name)(x, skip)
             stages.append(x)
         dec4, dec3, dec2, dec1 = stages
         return [dec1, dec2, dec3, dec4]
@@ -114,6 +123,7 @@ class MainSubsetModel(fnn.Module):
     mode_multi_dec: bool = False
     act: str = "relu"
     multiS_conv: bool = True
+    remat_blocks: bool = False
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -132,6 +142,7 @@ class MainSubsetModel(fnn.Module):
             mode_multi=self.mode_multi_dec,
             act=self.act,
             multiS_conv=self.multiS_conv,
+            remat_blocks=self.remat_blocks,
             dtype=self.dtype,
             name="decoder",
         )(enc_outs, train)
@@ -159,6 +170,7 @@ class DosePyfer(fnn.Module):
     act: str = "mish"
     mode_multi_dec: bool = True
     multiS_conv: bool = True
+    remat_blocks: bool = False
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -174,6 +186,7 @@ class DosePyfer(fnn.Module):
             mode_multi_dec=self.mode_multi_dec,
             act=self.act,
             multiS_conv=self.multiS_conv,
+            remat_blocks=self.remat_blocks,
             dtype=self.dtype,
             name="net_B",
         )(jnp.concatenate([out_a, x], axis=-1), train)
