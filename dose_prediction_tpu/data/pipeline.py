@@ -28,12 +28,21 @@ def dose_batches(
     augment: bool = True,
     seed: int = 0,
     drop_last: bool = False,
+    num_samples_per_epoch: int | None = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """One epoch of {'input': (N,D,H,W,9), 'gt': (N,D,H,W,2)} batches."""
+    """One epoch of {'input': (N,D,H,W,9), 'gt': (N,D,H,W,2)} batches.
+
+    ``num_samples_per_epoch`` reproduces the legacy loader's index-wraparound
+    sampling (dataloader_OpenKBP_C3D.py:129-134): an epoch longer (or
+    shorter) than the dataset cycles through it modulo its length.
+    """
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
+    if num_samples_per_epoch is not None:
+        reps = -(-num_samples_per_epoch // len(order))
+        order = np.tile(order, reps)[:num_samples_per_epoch]
     for i in range(0, len(order), batch_size):
         idx = order[i:i + batch_size]
         if drop_last and len(idx) < batch_size:

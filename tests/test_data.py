@@ -119,6 +119,17 @@ def test_rand_crop_pos_neg_bias(rng):
     assert hits > trials * 0.4
 
 
+def test_dose_batches_wraparound(tmp_path):
+    from dose_prediction_tpu.data.openkbp import OpenKBPDataset
+    from dose_prediction_tpu.data.pipeline import dose_batches
+
+    pattern = make_synthetic_dataset(tmp_path / "wrap", n_patients=2, shape=(16, 16, 16))
+    ds = OpenKBPDataset(pattern)
+    batches = list(dose_batches(ds, batch_size=1, shuffle=False, augment=False,
+                                num_samples_per_epoch=5))
+    assert len(batches) == 5  # 2-patient dataset cycled to 5 samples
+
+
 def test_linked_batches(tmp_path):
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
     from dose_prediction_tpu.data.pipeline import linked_batches
