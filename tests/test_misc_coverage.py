@@ -1,0 +1,77 @@
+"""Coverage for remaining corners: fused cascade mode, prefetch error
+propagation, StepTimer, config flags."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_cascade_fused_matches_staged(rng):
+    from dose_prediction_tpu.infer.cascade import make_cascade_fn
+    from dose_prediction_tpu.models import DosePyfer, TranSeg
+
+    seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                  num_layers=4, num_heads=2)
+    dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                     hidden_size=24, mlp_dim=48, num_layers=4, num_heads=2)
+    ct = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 1)).astype(np.float32))
+    ptv = jnp.asarray((rng.random((1, 32, 32, 32, 1)) < 0.1).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, 32, 32, 32, 1)) < 0.7).astype(np.float32))
+    seg_vars = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 32, 1)))
+    dose_vars = dose.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 32, 9)))
+
+    kw = dict(roi_size=(32, 32, 32), sw_batch_size=1)
+    staged = make_cascade_fn(seg, seg_vars, dose, dose_vars, fuse=False, **kw)
+    fused = make_cascade_fn(seg, seg_vars, dose, dose_vars, fuse=True, **kw)
+    a = np.asarray(staged(ct, ptv, mask))
+    b = np.asarray(fused(ct, ptv, mask))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_device_prefetch_propagates_errors():
+    from dose_prediction_tpu.data.pipeline import device_prefetch
+
+    def bad_iterator():
+        yield {"x": np.ones(3, np.float32)}
+        raise RuntimeError("loader exploded")
+
+    it = device_prefetch(bad_iterator())
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(it)
+
+
+def test_step_timer_summary():
+    import time
+
+    from dose_prediction_tpu.utils.profiling import StepTimer, trace
+
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        time.sleep(0.01)
+        t.stop(jnp.ones((4,)))
+    s = t.summary()
+    assert s["n"] == 3 and s["p50_s"] >= 0.01
+    # trace() no-ops cleanly with and without a dir
+    with trace(None):
+        pass
+
+
+def test_config_flags_env(monkeypatch):
+    import importlib
+
+    monkeypatch.setenv("DPT_PALLAS_ATTENTION", "0")
+    import dose_prediction_tpu.core.config as cfg
+
+    importlib.reload(cfg)
+    assert cfg.Flags().use_pallas_attention is False
+    # dataclass defaults bind at class definition: env is read at import time
+    monkeypatch.setenv("DPT_PALLAS_ATTENTION", "1")
+    importlib.reload(cfg)
+    assert cfg.Flags().use_pallas_attention is True
+    # restore module-level FLAGS to defaults for other tests
+    monkeypatch.undo()
+    importlib.reload(cfg)
