@@ -68,11 +68,20 @@ def build_parser() -> argparse.ArgumentParser:
     kf.add_argument("--folds", type=int, default=6)
     kf.add_argument("--start-fold", type=int, default=0)
 
+    sub.add_parser("bench", help="run the 128³ cascade latency benchmark")
+
     return ap
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "bench":
+        import runpy
+
+        runpy.run_path(str(Path(__file__).resolve().parent.parent.parent / "bench.py"),
+                       run_name="__main__")
+        return 0
 
     # lazy imports: CLI help must not pull in jax
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
