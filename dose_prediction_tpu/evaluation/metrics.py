@@ -255,6 +255,38 @@ def masked_percentile_jax(values: jax.Array, mask: jax.Array, q: jax.Array) -> j
     return val_lo + frac * (val_hi - val_lo)
 
 
+def dvh_metrics_jax(dose: jax.Array, mask: jax.Array, *, mode: str,
+                    spacing=None):
+    """On-device DVH metrics (get_DVH_metrics parity) with static shapes.
+
+    Percentiles use the sorted-masked interpolation of masked_percentile_jax;
+    jit-compatible, so a full 100-patient DVH sweep can run without host
+    round-trips per structure. Returns a dict of scalars (device arrays).
+    """
+    m = (mask.reshape(-1) > 0).astype(jnp.float32)
+    v = dose.reshape(-1).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(v * m) / n
+    if mode == "target":
+        return {
+            "D1": masked_percentile_jax(v, m, 99.0),
+            "D95": masked_percentile_jax(v, m, 5.0),
+            "D99": masked_percentile_jax(v, m, 1.0),
+            "mean": mean,
+        }
+    if mode == "OAR":
+        if spacing is None:
+            raise ValueError("OAR DVH metrics need voxel spacing")
+        voxel_size = float(np.prod(np.asarray(spacing, np.float64)))
+        voxels_in_tenth_cc = max(1.0, float(np.round(100.0 / voxel_size)))
+        frac = 100.0 - voxels_in_tenth_cc / n * 100.0
+        return {
+            "D_0.1_cc": masked_percentile_jax(v, m, frac),
+            "mean": mean,
+        }
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def ivs_sweep_jax(pred: jax.Array, gt: jax.Array, *, max_gy: float = 70.0,
                   n_levels: int = 101) -> jax.Array:
     """Vectorized IVS sweep on device: one pass over 101 thresholds."""

@@ -122,6 +122,21 @@ def test_dvh_metrics_target_and_oar(rng):
     assert om["D_0.1_cc"] == pytest.approx(np.percentile(roi, frac))
 
 
+def test_dvh_metrics_jax_matches_numpy(rng):
+    dose = np.abs(rng.standard_normal((18, 18, 18))).astype(np.float32) * 70
+    mask = _mask(rng, (18, 18, 18), p=0.3)
+    spacing = (3.9, 3.9, 2.5)
+    want_t = M.dvh_metrics(dose, mask, mode="target")
+    got_t = M.dvh_metrics_jax(jnp.asarray(dose), jnp.asarray(mask), mode="target")
+    for k in want_t:
+        assert float(got_t[k]) == pytest.approx(want_t[k], rel=1e-4), k
+    want_o = M.dvh_metrics(dose, mask, mode="OAR", spacing=spacing)
+    got_o = M.dvh_metrics_jax(jnp.asarray(dose), jnp.asarray(mask), mode="OAR",
+                              spacing=spacing)
+    for k in want_o:
+        assert float(got_o[k]) == pytest.approx(want_o[k], rel=1e-4), k
+
+
 def test_masked_percentile_jax_matches_numpy(rng):
     vals = rng.standard_normal(500).astype(np.float32)
     mask = (rng.random(500) < 0.5).astype(np.float32)
