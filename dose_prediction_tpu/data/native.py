@@ -48,6 +48,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.dose_io_probe.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float)]
+    lib.dose_io_load_full.restype = ctypes.c_int
+    lib.dose_io_load_full.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float)]
     lib.dose_io_load_batch.restype = ctypes.c_int
     lib.dose_io_load_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -86,6 +91,31 @@ def read_volume_f32(path: str | Path) -> Optional[Tuple[np.ndarray, Tuple[float,
     # NIfTI voxels are Fortran-ordered; match data.nifti.read_nifti layout
     data = buf.reshape((shape[2], shape[1], shape[0])).transpose(2, 1, 0)
     return np.ascontiguousarray(data), (spacing[0], spacing[1], spacing[2])
+
+
+def read_image_full(path: str | Path):
+    """Native load of one volume with full geometry: returns
+    (data (i,j,k) float32, spacing, affine 4x4) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    shape = (ctypes.c_int64 * 3)()
+    spacing = (ctypes.c_float * 3)()
+    affine12 = (ctypes.c_float * 12)()
+    if lib.dose_io_probe(str(path).encode(), shape, spacing) != 0:
+        return None
+    n = shape[0] * shape[1] * shape[2]
+    buf = np.empty(n, np.float32)
+    rc = lib.dose_io_load_full(
+        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, shape, spacing, affine12)
+    if rc != 0:
+        return None
+    data = buf.reshape((shape[2], shape[1], shape[0])).transpose(2, 1, 0)
+    affine = np.eye(4)
+    affine[:3, :] = np.asarray(affine12, np.float64).reshape(3, 4)
+    return (np.ascontiguousarray(data),
+            (float(spacing[0]), float(spacing[1]), float(spacing[2])), affine)
 
 
 def read_batch_f32(paths: Sequence[str | Path], *, n_threads: int = 4

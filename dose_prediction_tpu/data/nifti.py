@@ -51,10 +51,26 @@ def _open_maybe_gz(path: Path, mode: str):
     return open(path, mode)
 
 
-def read_nifti(path: Union[str, Path]) -> NiftiImage:
+def read_nifti(path: Union[str, Path], *, prefer_native: bool = True) -> NiftiImage:
     """Read a NIfTI-1 file. Returns data indexed (i, j, k) like
-    nibabel.get_fdata() — i.e. the first axis is the fastest-varying on disk."""
+    nibabel.get_fdata() — i.e. the first axis is the fastest-varying on disk.
+
+    When the native C++ runtime is available (native/dose_io.cpp) it handles
+    the gzip inflate + voxel decode (float32 output); the numpy path is the
+    fallback and the behavior reference.
+    """
     path = Path(path)
+    if prefer_native:
+        try:
+            from dose_prediction_tpu.data import native as _native
+
+            out = _native.read_image_full(path)
+        except Exception:
+            out = None
+        if out is not None:
+            data, spacing, affine = out
+            return NiftiImage(data=data, affine=affine,
+                              spacing=tuple(abs(s) for s in spacing))
     with _open_maybe_gz(path, "rb") as f:
         raw = f.read()
     if len(raw) < HEADER_SIZE:

@@ -15,6 +15,7 @@
 #include <zlib.h>
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -38,6 +39,10 @@ struct NiftiHeader {
   float vox_offset;
   float scl_slope;
   float scl_inter;
+  int16_t qform_code;
+  int16_t sform_code;
+  float quatern[6];   // b, c, d, qx, qy, qz
+  float srow[12];     // sform rows x/y/z
 };
 
 bool parse_header(const uint8_t* raw, size_t len, NiftiHeader* h) {
@@ -51,7 +56,42 @@ bool parse_header(const uint8_t* raw, size_t len, NiftiHeader* h) {
   std::memcpy(&h->vox_offset, raw + 108, 4);
   std::memcpy(&h->scl_slope, raw + 112, 4);
   std::memcpy(&h->scl_inter, raw + 116, 4);
+  std::memcpy(&h->qform_code, raw + 252, 2);
+  std::memcpy(&h->sform_code, raw + 254, 2);
+  std::memcpy(h->quatern, raw + 256, 24);
+  std::memcpy(h->srow, raw + 280, 48);
   return true;
+}
+
+// Fill a 3x4 affine (row-major, 12 floats) from sform / qform / pixdim —
+// the same priority order as data/nifti.py::read_nifti.
+void header_affine(const NiftiHeader& h, float* out12) {
+  if (h.sform_code > 0) {
+    std::memcpy(out12, h.srow, 48);
+    return;
+  }
+  if (h.qform_code > 0) {
+    double b = h.quatern[0], c = h.quatern[1], d = h.quatern[2];
+    double a2 = 1.0 - (b * b + c * c + d * d);
+    double a = a2 > 0 ? std::sqrt(a2) : 0.0;
+    double qfac = h.pixdim[0] < 0 ? -1.0 : 1.0;
+    double r[3][3] = {
+        {a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)},
+        {2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)},
+        {2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c}};
+    double sx = h.pixdim[1], sy = h.pixdim[2], sz = qfac * h.pixdim[3];
+    for (int i = 0; i < 3; ++i) {
+      out12[i * 4 + 0] = static_cast<float>(r[i][0] * sx);
+      out12[i * 4 + 1] = static_cast<float>(r[i][1] * sy);
+      out12[i * 4 + 2] = static_cast<float>(r[i][2] * sz);
+      out12[i * 4 + 3] = h.quatern[3 + i];
+    }
+    return;
+  }
+  for (int i = 0; i < 12; ++i) out12[i] = 0.0f;
+  out12[0] = h.pixdim[1];
+  out12[5] = h.pixdim[2];
+  out12[10] = h.pixdim[3];
 }
 
 // Inflate a whole gzip file into memory; returns false on error.
@@ -183,6 +223,20 @@ int load_volume_f32(const char* path, float* dst, int64_t capacity,
 }  // namespace
 
 extern "C" {
+
+// Load one volume to float32 with full geometry: shape, spacing, and the
+// 3x4 affine (sform > qform > pixdim priority). Returns 0 on success.
+int dose_io_load_full(const char* path, float* dst, int64_t capacity,
+                      int64_t* shape_out, float* spacing_out,
+                      float* affine12_out) {
+  std::vector<uint8_t> raw;
+  if (!gunzip_file(path, &raw)) return -1;
+  NiftiHeader h;
+  if (!parse_header(raw.data(), raw.size(), &h)) return -2;
+  header_affine(h, affine12_out);
+  int rc = load_volume_f32(path, dst, capacity, shape_out, spacing_out);
+  return rc;
+}
 
 // Read the (i,j,k) shape of a NIfTI file without decoding voxels fully.
 // Returns 0 on success.

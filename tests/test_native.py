@@ -60,6 +60,20 @@ def test_preprocess_ct_matches_numpy(rng):
 
 
 @needs_native
+def test_native_full_read_matches_numpy_reader(tmp_path, rng):
+    """read_nifti's native fast path returns the same data/affine/spacing as
+    the pure-numpy fallback."""
+    vol = (rng.standard_normal((6, 7, 8)) * 50).astype(np.float32)
+    path = tmp_path / "full.nii.gz"
+    nifti.write_nifti(path, vol, spacing=(1.0, 2.0, 3.0))
+    a = nifti.read_nifti(path, prefer_native=True)
+    b = nifti.read_nifti(path, prefer_native=False)
+    np.testing.assert_allclose(a.data, b.data, rtol=1e-6)
+    np.testing.assert_allclose(a.affine, b.affine, rtol=1e-5, atol=1e-6)
+    assert tuple(np.round(a.spacing, 5)) == tuple(np.round(b.spacing, 5))
+
+
+@needs_native
 def test_native_rejects_garbage(tmp_path):
     p = tmp_path / "junk.nii.gz"
     p.write_bytes(b"not a nifti at all")
