@@ -31,6 +31,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--mesh", default=None,
+                   help="SPMD mesh, e.g. 'data=4' or 'data=4,model=2' "
+                        "(batch-size must divide by the data axis)")
+    p.add_argument("--model-size", choices=["full", "small"], default="full",
+                   help="'small' = reduced-width dev model for smoke runs/CI")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -47,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--no-freeze", action="store_true")
     tr.add_argument("--delta1", type=float, default=10.0)
     tr.add_argument("--delta2", type=float, default=8.0)
+    tr.add_argument("--mode-model", type=int, choices=[0, 1], default=1,
+                    help="seg task: 0 = plain MONAI UNETR, 1 = TranSeg "
+                         "(train_light_transeg.py:93-124)")
+    tr.add_argument("--block-family", choices=["seg", "old", "ablation"],
+                    default="seg", help="TranSeg conv-block flavor: 'seg' "
+                    "(Models/, IN), 'old' (OldModels TRANSEG, BatchNorm), "
+                    "'ablation' (base_blocks_ablation)")
 
     ev = sub.add_parser("eval", help="OpenKBP scoring sweep")
     _add_common(ev)
@@ -62,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     tu = sub.add_parser("tune", help="ASHA hyperparameter search")
     _add_common(tu)
     tu.add_argument("--num-samples", type=int, default=10)
+    tu.add_argument("--sampler", choices=["random", "tpe"], default="tpe")
+    tu.add_argument("--max-concurrent", type=int, default=1,
+                    help="parallel trials (one per device sub-slice)")
+    tu.add_argument("--grace-period", type=int, default=1,
+                    help="ASHA grace period in validation rounds")
 
     kf = sub.add_parser("kfold", help="k-fold cross validation")
     _add_common(kf)
@@ -94,6 +111,12 @@ def main(argv=None) -> int:
         TranSegTrainer,
     )
 
+    def parse_mesh(spec):
+        if not spec:
+            return None
+        return {k: int(v) for k, v in
+                (item.split("=") for item in spec.split(","))}
+
     def make_cfg() -> TrainConfig:
         return TrainConfig(
             max_epochs=args.epochs, check_val=args.check_val,
@@ -103,25 +126,47 @@ def main(argv=None) -> int:
             optimizer=getattr(args, "optimizer", "adamw"),
             delta1=getattr(args, "delta1", 10.0), delta2=getattr(args, "delta2", 8.0),
             freeze_net_a=not getattr(args, "no_freeze", False),
+            mesh_shape=parse_mesh(getattr(args, "mesh", None)),
         )
+
+    def pyfer_model(act="relu", multiS_conv=True):
+        from dose_prediction_tpu.models import DosePyfer
+
+        if getattr(args, "model_size", "full") == "small":
+            return DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                             feature_size=2, hidden_size=24, mlp_dim=48,
+                             num_layers=4, num_heads=2,
+                             act=act, multiS_conv=multiS_conv)
+        return DosePyfer(act=act, multiS_conv=multiS_conv)
 
     if args.cmd == "train":
         train_ds = OpenKBPDataset(args.data, size=args.size)
         val_ds = OpenKBPDataset(args.val_data, keep_structures=True) if args.val_data else None
         cfg = make_cfg()
+        # the ViT pos-embed grid is shape-specific: derive the example shape
+        # from the actual data rather than assuming 128³
+        shape = train_ds.patients[0].ct.shape
         if args.model == "pyfer":
             pre = None
             if args.pretrained_c3d:
                 from dose_prediction_tpu.core.checkpoint import restore_checkpoint
                 pre = restore_checkpoint(args.pretrained_c3d)
                 pre = pre.get("state", pre).get("params", pre)
-            trainer = PyferTrainer(cfg, pretrained_c3d_params=pre)
+            trainer = PyferTrainer(cfg, model=pyfer_model(), pretrained_c3d_params=pre,
+                                   example_shape=(1, *shape, 9))
         elif args.model == "c3d":
             trainer = CascadeC3DTrainer(cfg)
         elif args.model == "hdunet":
             trainer = HDUNetTrainer(cfg)
         elif args.model == "transeg":
-            trainer = TranSegTrainer(cfg)
+            if getattr(args, "mode_model", 1) == 0:
+                from dose_prediction_tpu.models import UNETR
+                from dose_prediction_tpu.train.trainers import UNETRSegTrainer
+                trainer = UNETRSegTrainer(cfg)
+            else:
+                from dose_prediction_tpu.models import TranSeg
+                trainer = TranSegTrainer(cfg, model=TranSeg(
+                    block_family=getattr(args, "block_family", "seg")))
         elif args.model == "vitgan":
             from dose_prediction_tpu.train.gan import VitGANTrainer
             trainer = VitGANTrainer(cfg)
@@ -181,27 +226,46 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "tune":
-        from dose_prediction_tpu.models import DosePyfer
-        from dose_prediction_tpu.train.tune import run_search
+        from dose_prediction_tpu.train.tune import ASHAScheduler, run_search
 
         train_ds = OpenKBPDataset(args.data, size=args.size)
         val_ds = OpenKBPDataset(args.val_data, size=args.size) if args.val_data else train_ds
+        shape = train_ds.patients[0].ct.shape
+
+        import itertools
+        trial_counter = itertools.count()
 
         def train_trial(config, report):
+            tid = next(trial_counter)   # per-trial ckpt/log dirs (safe when concurrent)
             cfg = make_cfg()
             cfg = type(cfg)(**{**cfg.__dict__,
                                "learning_rate": config["lr"],
                                "weight_decay": config["weight_decay"],
-                               "max_epochs": args.epochs})
-            model = DosePyfer(act=config["act"], multiS_conv=config["multiS_conv"])
-            trainer = PyferTrainer(cfg, model=model)
-            trainer.fit(train_ds, val_ds, resume=False)
+                               "max_epochs": args.epochs,
+                               "ckpt_dir": str(Path(args.ckpt_dir) / f"trial_{tid}"),
+                               "log_dir": str(Path(args.log_dir) / f"trial_{tid}")})
+            model = pyfer_model(act=config["act"], multiS_conv=config["multiS_conv"])
+            trainer = PyferTrainer(cfg, model=model,
+                                   example_shape=(1, *shape, 9))
+            rounds = {"n": 0}
+
+            # report each validation round; ASHA returning True halts the fit
+            def on_validation(epoch, metrics):
+                rounds["n"] += 1
+                return report(rounds["n"], -metrics["mean_dose_score"])
+
+            trainer.fit(train_ds, val_ds, resume=False, on_validation=on_validation)
             return -trainer.best_val  # minimize dose score
 
+        scheduler = ASHAScheduler(max_t=max(1, args.epochs // args.check_val),
+                                  grace_period=args.grace_period, mode="min")
         res = run_search(train_trial, num_samples=args.num_samples,
-                         out_dir=args.log_dir)
+                         scheduler=scheduler, sampler=args.sampler,
+                         max_concurrent=args.max_concurrent, out_dir=args.log_dir)
         print(json.dumps({"best_config": res["best_config"],
-                          "best_value": res["best_value"]}, indent=2, default=str))
+                          "best_value": res["best_value"],
+                          "num_early_stopped": res["num_early_stopped"]},
+                         indent=2, default=str))
         return 0
 
     if args.cmd == "kfold":

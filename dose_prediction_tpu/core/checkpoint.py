@@ -53,16 +53,30 @@ class CheckpointManager:
                  monitor: str = "dose_score", mode: str = "max"):
         directory = Path(directory).absolute()
         directory.mkdir(parents=True, exist_ok=True)
+        self._dir = directory
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=lambda m: m[monitor],
             best_mode=mode,
         )
-        self._mgr = ocp.CheckpointManager(directory, options=options)
+        self._mgr = ocp.CheckpointManager(directory / "monitored", options=options)
 
     def save(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
         self._mgr.save(step, args=ocp.args.PyTreeSave(tree), metrics=metrics)
         self._mgr.wait_until_finished()
+
+    # -- crash-resume slot (save_last=True / NetworkTrainer 'latest' parity:
+    #    train_light_pyfer.py:307-312, network_trainer.py:305-313) ----------
+    def save_last(self, tree: Any) -> None:
+        """Overwrite the single rotating 'last' slot (every-epoch crash
+        resume; orbax writes to a tmp dir and renames, so it's atomic)."""
+        save_checkpoint(self._dir / "last", tree, force=True)
+
+    def restore_last(self, target: Optional[Any] = None) -> Any:
+        path = self._dir / "last"
+        if not path.exists():
+            return None
+        return restore_checkpoint(path, target)
 
     def restore_latest(self, target: Optional[Any] = None) -> Tuple[Optional[int], Any]:
         step = self._mgr.latest_step()

@@ -16,8 +16,21 @@ class Flags:
     # Use the Pallas fused attention kernel inside the ViT (TPU only; the
     # XLA einsum path is used off-TPU or when False).
     use_pallas_attention: bool = os.environ.get("DPT_PALLAS_ATTENTION", "1") == "1"
-    # Use the Pallas fused InstanceNorm+act kernel (TPU only).
-    use_pallas_instance_norm: bool = os.environ.get("DPT_PALLAS_IN", "0") == "1"
+    # Pallas fused InstanceNorm kernel policy: 'auto' picks it on TPU when
+    # the channel count fills the 128-lane registers (measured: slower than
+    # XLA at C=16 from lane padding, faster at C≥256 — docs/PERFORMANCE.md);
+    # '1' forces it on TPU at every width, '0' disables.
+    use_pallas_instance_norm: str = os.environ.get("DPT_PALLAS_IN", "auto")
+
+    def pallas_instance_norm_for(self, channels: int, n_spatial: int = 0) -> bool:
+        """auto: the fused kernel wins only where IN is HBM-bound — wide
+        channels (128-lane registers filled) AND a volume big enough that the
+        2-read-1-write schedule matters (≥2^18 voxels ≈ 64³)."""
+        if self.use_pallas_instance_norm == "1":
+            return on_tpu()
+        if self.use_pallas_instance_norm == "auto":
+            return channels >= 128 and n_spatial >= (1 << 18) and on_tpu()
+        return False
     # Default compute dtype name for models ('bfloat16' on TPU, 'float32' off).
     compute_dtype: str = os.environ.get("DPT_COMPUTE_DTYPE", "bfloat16")
 

@@ -66,6 +66,7 @@ def seg_batches(
     batch_size: int = 4,
     shuffle: bool = True,
     seed: int = 0,
+    drop_last: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Seg epochs: pos/neg crops ×num_samples per patient, batched
     ({'ct': (N,*crop,1), 'labels': (N,*crop) int32})."""
@@ -84,7 +85,7 @@ def seg_batches(
             if len(buf_ct) == batch_size:
                 yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
                 buf_ct, buf_lab = [], []
-    if buf_ct:
+    if buf_ct and not drop_last:
         yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
 
 

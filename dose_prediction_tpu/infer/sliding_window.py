@@ -149,8 +149,7 @@ def sliding_window_inference(
     return out
 
 
-def sliding_window_inference_sharded(
-    volume: jax.Array,
+def make_sliding_window_sharded_fn(
     predictor: Callable,
     mesh,
     *,
@@ -159,8 +158,7 @@ def sliding_window_inference_sharded(
     overlap: float = 0.25,
     mode: str = "constant",
     out_channels: int | None = None,
-    predictor_args: Tuple = (),
-) -> jax.Array:
+):
     """Multi-chip sliding window: the WINDOW batch is sharded over a mesh axis
     (the workload's closest analogue to sequence parallelism — SURVEY.md §5.7:
     spatial tiling sharded across devices).
@@ -171,31 +169,32 @@ def sliding_window_inference_sharded(
     results. GSPMD inserts the all-gather over ICI. n_win is padded to a
     multiple of the axis size by repeating the last window (exactly divided
     out by the count channel, like sw-batch padding in the local engine).
+
+    Returns a jit-once ``run(volume, *predictor_args)``; repeat calls with the
+    same volume shape reuse the compiled program (no retrace). The window grid
+    is derived from the static volume shape at trace time.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if volume.shape[0] != 1:
-        raise ValueError("sliding_window_inference_sharded expects batch size 1")
-    _, d, h, w, c = volume.shape
     roi = tuple(int(r) for r in roi_size)
-    pads = [max(0, roi[i] - volume.shape[1 + i]) for i in range(3)]
-    if any(pads):
-        volume = jnp.pad(volume, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
-    full = volume.shape[1:4]
-
-    grid = window_grid(full, roi, overlap)
     n_dev = mesh.shape[axis]
-    n_win = len(grid)
-    padded = grid + [grid[-1]] * ((-n_win) % n_dev)
-    starts = jnp.asarray(padded, jnp.int32)
-    c_out = int(out_channels) if out_channels is not None else c
-    imp = _importance_map(roi, mode)
 
-    def gather_one(start):
-        return jax.lax.dynamic_slice(
-            volume, (0, start[0], start[1], start[2], 0), (1, *roi, c))[0]
+    def run(volume, *p_args):
+        _, d, h, w, c = volume.shape
+        pads = [max(0, roi[i] - volume.shape[1 + i]) for i in range(3)]
+        if any(pads):
+            volume = jnp.pad(volume, ((0, 0), (0, pads[0]), (0, pads[1]), (0, pads[2]), (0, 0)))
+        full = volume.shape[1:4]
+        grid = window_grid(full, roi, overlap)
+        padded = grid + [grid[-1]] * ((-len(grid)) % n_dev)
+        starts = jnp.asarray(padded, jnp.int32)
+        c_out = int(out_channels) if out_channels is not None else c
+        imp = _importance_map(roi, mode)
 
-    def run(volume, starts, *p_args):
+        def gather_one(start):
+            return jax.lax.dynamic_slice(
+                volume, (0, start[0], start[1], start[2], 0), (1, *roi, c))[0]
+
         wins = jax.vmap(gather_one)(starts)
         wins = jax.lax.with_sharding_constraint(
             wins, NamedSharding(mesh, P(axis)))
@@ -214,14 +213,50 @@ def sliding_window_inference_sharded(
 
         acc, _ = jax.lax.scan(scatter, jnp.zeros((*full, c_out + 1), jnp.float32),
                               jnp.arange(len(padded)))
-        return acc[..., :c_out] / acc[..., c_out:]
+        out = (acc[..., :c_out] / acc[..., c_out:])[None]
+        if any(pads):
+            out = out[:, :d, :h, :w]
+        return out
 
-    with mesh:
-        out = jax.jit(run)(volume, starts, *predictor_args)
-    out = out[None]
-    if any(pads):
-        out = out[:, :d, :h, :w]
-    return out
+    jitted = jax.jit(run)
+
+    def wrapper(volume, *predictor_args):
+        with mesh:
+            return jitted(volume, *predictor_args)
+
+    wrapper._jitted = jitted  # exposed for cache/trace introspection in tests
+    return wrapper
+
+
+# one compiled program per (predictor, mesh, config); repeat one-shot calls hit it
+_SHARDED_FN_CACHE: dict = {}
+
+
+def sliding_window_inference_sharded(
+    volume: jax.Array,
+    predictor: Callable,
+    mesh,
+    *,
+    axis: str = "data",
+    roi_size: Sequence[int] = (96, 96, 96),
+    overlap: float = 0.25,
+    mode: str = "constant",
+    out_channels: int | None = None,
+    predictor_args: Tuple = (),
+) -> jax.Array:
+    """One-shot wrapper over :func:`make_sliding_window_sharded_fn`, memoized
+    so repeat calls with the same predictor/mesh/config reuse the compiled
+    program instead of re-jitting a fresh closure each time."""
+    if volume.shape[0] != 1:
+        raise ValueError("sliding_window_inference_sharded expects batch size 1")
+    key = (predictor, mesh, axis, tuple(int(r) for r in roi_size), overlap,
+           mode, out_channels)
+    fn = _SHARDED_FN_CACHE.get(key)
+    if fn is None:
+        fn = _SHARDED_FN_CACHE.setdefault(key, make_sliding_window_sharded_fn(
+            predictor, mesh, axis=axis, roi_size=roi_size, overlap=overlap,
+            mode=mode, out_channels=out_channels))
+    return fn(volume, *predictor_args)
 
 
 def make_sliding_window_fn(

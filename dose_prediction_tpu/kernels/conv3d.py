@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: direct same-size k3 3D convolution for narrow channels.
+
+Why (docs/PERFORMANCE.md round-2 conv study): XLA's conv lowering is at the
+C_out-lane ceiling (68.9 TF/s peak × C/128) at 128³ but loses another ~2× to
+spatial tiling at the 96³ seg-window shapes, and every XLA-level rewrite
+(lane-folding, space-to-depth, depth-folding) pays patch/relayout HBM traffic
+that eats the win. This kernel keeps the patch structure in VMEM only:
+
+- the volume is viewed as rows (N, D, H) × lanes (W·C), padded to
+  (N, D+2, H+2, Lp) with the w-axis left-padded by 1 and right-padded so
+  Lp = (W + 2 + pad)·C is a multiple of 128 with one trailing block of slack;
+- the kernel DMAs a (TD+2, H+2, Lp) row-window from HBM into VMEM once per
+  grid cell (halo rows re-read, everything else read exactly once);
+- for each (d-tap, h-tap, local-d, w-block) it issues a dense
+  (H, 256) @ (256, C·F) matmul against a BANDED weight matrix
+  Wexp[(p, ci), (δ, co)] = w[td, th, p−δ, ci, co] (p−δ ∈ {0,1,2}), where
+  F = 128//C output w-positions share the 128 result lanes — the MXU runs
+  dense while the band carries the k3 taps;
+- partial sums accumulate in an f32 VMEM scratch; one bf16 write per output.
+
+Exposed as ``conv3d_k3(x, w, b)`` with a custom VJP whose backward runs the
+XLA reference path (training numerics identical; the kernel serves the
+forward/inference hot path). Falls back to interpret mode off-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _expand_weights(w: jax.Array, f: int, c: int) -> jax.Array:
+    """(3,3,3,C,Cout) → (9, 2·128, F·Cout) banded: for each (td,th), rows are
+    the 2·128-lane input window [128b, 128b+256) in (w-position, ci) layout,
+    cols are (δ, co) output lanes; entries w[td,th,t] at row (δ+t)·C+ci.
+
+    The window holds positions p = 0..(256/C − 1) relative to lane 128b,
+    which in padded-w coordinates covers output positions δ = 0..F−1 of block
+    b (needing p = δ..δ+2 — always inside the first F+2 ≤ 256/C positions).
+    """
+    cout = w.shape[-1]
+    win_pos = 256 // c
+    # constant band-selection tensor (trace-safe): sel[p, δ, t] = [p == δ + t]
+    sel = np.zeros((win_pos, f, 3), np.float32)
+    for delta in range(f):
+        for t in range(3):
+            sel[delta + t, delta, t] = 1.0
+    wexp = jnp.einsum("pdt,abtio->abpido", jnp.asarray(sel, w.dtype), w)
+    return wexp.reshape(9, win_pos * c, f * cout)
+
+
+def _kernel(x_hbm, wexp_ref, o_ref, buf, acc, sem, *, td_chunk: int, h: int,
+            hp: int, lp: int, nb: int, c: int, f: int, out_l: int):
+    """Grid: (num_d_chunks,). x_hbm: (DP, HP, Lp) in ANY/HBM.
+    buf: VMEM (td_chunk+2, HP, Lp); acc: VMEM (td_chunk, h, out_l) f32."""
+    i = pl.program_id(0)
+
+    # copy the row window (with d-halo) HBM → VMEM
+    cp = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * td_chunk, td_chunk + 2)], buf, sem)
+    cp.start()
+    cp.wait()
+
+    acc[:] = jnp.zeros_like(acc)
+    for td in range(3):
+        for th in range(3):
+            wmat = wexp_ref[td * 3 + th]                     # (256, F·C)
+            for dl in range(td_chunk):
+                a_full = buf[td + dl, pl.ds(th, h), :]       # (H, Lp)
+                for b in range(nb):
+                    a = a_full[:, b * 128: b * 128 + 256]    # aligned 256 lanes
+                    y = jnp.dot(a, wmat, preferred_element_type=jnp.float32)
+                    # F·Cout == 128: one output lane-block per w-block
+                    acc[dl, :, b * 128: b * 128 + 128] += y
+
+    o_ref[:] = acc[:].astype(o_ref.dtype)
+
+
+def _conv3d_k3_fwd(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+                   *, td_chunk: int = 4, interpret: bool = False) -> jax.Array:
+    n, d, h, wd, c = x.shape
+    cout = w.shape[-1]
+    if n != 1:
+        # fold batch into depth (independent slices; halo rows are zero-padded
+        # per sample, so process each sample separately)
+        outs = [_conv3d_k3_fwd(x[i:i + 1], w, b, td_chunk=td_chunk,
+                               interpret=interpret) for i in range(n)]
+        return jnp.concatenate(outs, axis=0)
+    f = 128 // cout
+    if c != cout or 128 % cout or wd % f:
+        raise ValueError("conv3d_k3 supports C==Cout dividing 128 and W % (128//C) == 0")
+    while d % td_chunk:
+        td_chunk //= 2
+    nb = wd // f
+    out_l = wd * cout
+    # lanes: left-pad w by 1, right-pad so the last 256-lane window fits;
+    # rows: HP must be 8-aligned (Mosaic sublane tiling on DMA slices)
+    right = (nb * 128 + 256) // c - (wd + 1)
+    hp = -(-(h + 2) // 8) * 8
+    xp = jnp.pad(x[0], ((1, 1), (1, hp - h - 1), (1, right), (0, 0)))
+    dp = d + 2
+    lp = (wd + 1 + right) * c
+    x2 = xp.reshape(dp, hp, lp)
+
+    wexp = _expand_weights(w, f, c).astype(x.dtype)
+
+    grid = (d // td_chunk,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, td_chunk=td_chunk, h=h, hp=hp, lp=lp,
+                          nb=nb, c=c, f=f, out_l=out_l),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, 256, f * cout), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((td_chunk, h, out_l), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, h, out_l), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((td_chunk + 2, hp, lp), x.dtype),
+            pltpu.VMEM((td_chunk, h, out_l), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2, wexp)
+    out = out.reshape(1, d, h, wd, cout)
+    if b is not None:
+        out = (out.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+    return out
+
+
+def conv3d_k3(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+              *, interpret: Optional[bool] = None) -> jax.Array:
+    """Direct Pallas same-size k3 conv (stride 1, dilation 1, pad 1),
+    C == Cout ∈ {16, 32, 64}. Differentiable (XLA-reference backward)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv3d_k3_core(x, w, b, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3d_k3_core(x, w, b, interpret):
+    return _conv3d_k3_fwd(x, w, b, interpret=interpret)
+
+
+def _reference(x, w, b):
+    from dose_prediction_tpu.ops.conv import conv3d
+
+    return conv3d(x, w, b, padding=1, method="decomposed")
+
+
+def _core_fwd(x, w, b, interpret):
+    return _conv3d_k3_fwd(x, w, b, interpret=interpret), (x, w, b)
+
+
+def _core_bwd(interpret, residuals, g):
+    x, w, b = residuals
+    if b is None:
+        _, vjp = jax.vjp(lambda x_, w_: _reference(x_, w_, None), x, w)
+        gx, gw = vjp(g)
+        return gx, gw, None
+    _, vjp = jax.vjp(_reference, x, w, b)
+    return vjp(g)
+
+
+_conv3d_k3_core.defvjp(_core_fwd, _core_bwd)

@@ -16,6 +16,7 @@ from dose_prediction_tpu.models.dosegan import (
 )
 from dose_prediction_tpu.models.hdunet import HDUNet
 from dose_prediction_tpu.models.transeg import TranSeg
+from dose_prediction_tpu.models.unetr import UNETR
 
 __all__ = [
     "AttGate",
@@ -28,6 +29,7 @@ __all__ = [
     "NLayerDiscriminator",
     "PyMSCDecoder",
     "TranSeg",
+    "UNETR",
     "UnetGenerator3D",
     "UnetSkipBlock",
     "ViTEncoder",

@@ -66,7 +66,7 @@ class MultiAttGate(fnn.Module):
         z1 = initial(down_inp)
         z2 = initial(sample_inp)
         g = ops.relu(z1 + z2)
-        g = Conv31(self.features, act="relu", dtype=self.dtype, name="inter_conv31")(g, train)
+        g = Conv31(self.features, family="dose", dtype=self.dtype, name="inter_conv31")(g, train)
         g = BatchNorm(name="inter_norm")(g, use_running_average=not train)
         return z1 * ops.sigmoid(g)
 
@@ -105,7 +105,7 @@ class DilatedSharedEncoder(fnn.Module):
         outs.append(x)
         for level in (2, 3, 4):
             x = ops.max_pool3d(x, 2)
-            x = DualDilatedBlock(ch[level], act=self.act, dtype=self.dtype,
+            x = DualDilatedBlock(ch[level], family="dose", dtype=self.dtype,
                                  name=f"enc{level}_dual")(x, train)
             outs.append(x)
         return outs
@@ -122,11 +122,11 @@ class DilatedEncoder(fnn.Module):
     def __call__(self, x, train: bool = True) -> List[jax.Array]:
         ch = self.list_ch
         outs = []
-        x = DualDilatedBlock(ch[1], act=self.act, dtype=self.dtype, name="enc1_dual")(x, train)
+        x = DualDilatedBlock(ch[1], family="dose", dtype=self.dtype, name="enc1_dual")(x, train)
         outs.append(x)
         for level in (2, 3, 4, 5):
             x = ops.max_pool3d(x, 2)
-            x = DualDilatedBlock(ch[level], act=self.act, dtype=self.dtype,
+            x = DualDilatedBlock(ch[level], family="dose", dtype=self.dtype,
                                  name=f"enc{level}_dual")(x, train)
             outs.append(x)
         return outs
@@ -146,7 +146,7 @@ class InitialEncoderA(fnn.Module):
             h = SingleConv(self.mid_ch, 3, 1, 1, dtype=self.dtype, name="conv1")(x)
             h = SingleConv(self.mid_ch, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
         else:
-            h = DualDilatedBlock(self.mid_ch, dtype=self.dtype, name="dual")(x, train)
+            h = DualDilatedBlock(self.mid_ch, family="dose", dtype=self.dtype, name="dual")(x, train)
         down = SingleConv(self.down_ch, 3, 2, 1, dtype=self.dtype, name="down")(h)
         return h, down
 
@@ -187,7 +187,7 @@ class DilatedSharedDecoder(fnn.Module):
         for level, skip in ((3, e3), (2, e2)):
             x = UpConv(ch[level], dtype=self.dtype, name=f"up{level}")(x)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = Conv31(ch[level], act=self.act, dtype=self.dtype, name=f"dec{level}_c31")(x, train)
+            x = Conv31(ch[level], family="dose", dtype=self.dtype, name=f"dec{level}_c31")(x, train)
         x = UpConv(ch[1], dtype=self.dtype, name="up1")(x)
         x = jnp.concatenate([x, e1], axis=-1)
         return SingleConv(ch[1], 3, 1, 1, dtype=self.dtype, name="dec1_conv")(x)
@@ -399,7 +399,7 @@ class SharedUNetModel(fnn.Module):
             bott = SingleConv(ch[6], 3, 1, 1, dtype=self.dtype, name="bottleneck_conv")(bott)
         else:
             bott = ops.max_pool3d(enc_b[-1], 2)
-            bott = DualDilatedBlock(ch[6], dtype=self.dtype, name="bottleneck_dual")(bott, train)
+            bott = DualDilatedBlock(ch[6], family="dose", dtype=self.dtype, name="bottleneck_dual")(bott, train)
         bott = UpConv(ch[5], dtype=self.dtype, name="bottleneck_up")(bott)
         merged = jnp.concatenate([enc_b[-1], bott], axis=-1)
         merged = SingleConv(ch[5], 3, 1, 1, dtype=self.dtype, name="out_bottleneck_c1")(merged)

@@ -6,6 +6,15 @@ ViT (12 layers, hidden-state taps at indices 3/6/9), UnetrBasicBlock +
 UnetrPrUpBlock encoders, ModifiedUnetrUpBlock decoders (default act='relu',
 multiS_conv=True), 1×1 ModifiedUnetOutBlock head. Default out_channels =
 7 OARs + background = 8 (test(), oar_transeg.py:192).
+
+``block_family`` exposes the reference's seg-model matrix
+(train_light_transeg.py:93-124):
+- 'seg'  → the new-Models IN-flavored blocks (mode_model=1 with Models/);
+- 'old'  → the OldModels TRANSEG flavor (BatchNorm conv_3_1 with a bare 1×1
+  fuse — OldModels/Nets/blocks_MDUNet.py:132-148; what mode_model=1 actually
+  imports via train_light_transeg.py:20);
+- 'ablation' → base_blocks_ablation.py:9 swap-in.
+The plain MONAI UNETR (mode_model=0) lives in models/unetr.py.
 """
 
 from __future__ import annotations
@@ -37,10 +46,12 @@ class TranSeg(fnn.Module):
     patch_size: int = 16
     act: str = "relu"
     multiS_conv: bool = True
+    block_family: str = "seg"    # 'seg' | 'old' | 'ablation'
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, x, train: bool = True) -> jax.Array:
+        family = {"seg": "seg", "old": "dose", "ablation": "ablation"}[self.block_family]
         n, d, h, w, _ = x.shape
         grid = (d // self.patch_size, h // self.patch_size, w // self.patch_size)
         fs = self.feature_size
@@ -69,11 +80,11 @@ class TranSeg(fnn.Module):
         )
         dec4 = unpatchify_tokens(z_final, grid)
         dec3 = ModifiedUnetrUpBlock(fs * 8, act=self.act, multiS_conv=self.multiS_conv,
-                                    dtype=self.dtype, name="decoder5")(dec4, enc4, train)
+                                    family=family, dtype=self.dtype, name="decoder5")(dec4, enc4, train)
         dec2 = ModifiedUnetrUpBlock(fs * 4, act=self.act, multiS_conv=self.multiS_conv,
-                                    dtype=self.dtype, name="decoder4")(dec3, enc3, train)
+                                    family=family, dtype=self.dtype, name="decoder4")(dec3, enc3, train)
         dec1 = ModifiedUnetrUpBlock(fs * 2, act=self.act, multiS_conv=self.multiS_conv,
-                                    dtype=self.dtype, name="decoder3")(dec2, enc2, train)
+                                    family=family, dtype=self.dtype, name="decoder3")(dec2, enc2, train)
         out = ModifiedUnetrUpBlock(fs, act=self.act, multiS_conv=self.multiS_conv,
-                                   dtype=self.dtype, name="decoder2")(dec1, enc1, train)
+                                   family=family, dtype=self.dtype, name="decoder2")(dec1, enc1, train)
         return ModifiedUnetOutBlock(self.out_ch, dtype=self.dtype, name="out")(out)

@@ -12,6 +12,7 @@ from dose_prediction_tpu.nn.layers import (
     make_norm,
 )
 from dose_prediction_tpu.nn.mdunet import (
+    AblationConv31,
     AblationDualDilatedBlock,
     Conv31,
     ConvBlockK,
@@ -38,6 +39,7 @@ from dose_prediction_tpu.nn.vit import (
 )
 
 __all__ = [
+    "AblationConv31",
     "Attention",
     "BatchNorm",
     "Conv31",

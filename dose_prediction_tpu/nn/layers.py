@@ -15,6 +15,7 @@ from typing import Any, Callable, Optional, Sequence, Union
 import flax.linen as fnn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dose_prediction_tpu import ops
 from dose_prediction_tpu.nn import init as tinit
@@ -103,6 +104,20 @@ class InstanceNorm(fnn.Module):
         c = x.shape[-1]
         scale = self.param("scale", tinit.ones, (c,)) if self.affine else None
         bias = self.param("bias", tinit.zeros, (c,)) if self.affine else None
+        from dose_prediction_tpu.core.config import FLAGS
+
+        # wide-channel volumes route through the fused Pallas kernel
+        # (2 reads + 1 write of HBM); narrow ones stay on XLA, which wins
+        # below the 128-lane register width (docs/PERFORMANCE.md)
+        n_spatial = int(np.prod(x.shape[1:-1])) if x.ndim == 5 else 0
+        if x.ndim == 5 and FLAGS.pallas_instance_norm_for(c, n_spatial):
+            from dose_prediction_tpu.kernels.instance_norm import instance_norm_act
+
+            return instance_norm_act(
+                x,
+                scale if scale is not None else jnp.ones((c,), jnp.float32),
+                bias if bias is not None else jnp.zeros((c,), jnp.float32),
+                eps=self.eps)
         return ops.instance_norm(x, scale, bias, eps=self.eps)
 
 

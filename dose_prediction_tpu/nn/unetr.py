@@ -137,12 +137,20 @@ class UnetrUpBlock(fnn.Module):
 
 class ModifiedUnetrUpBlock(fnn.Module):
     """Multi-scale decoder stage (base_blocks.py:91-141): transp conv + concat
-    skip + Conv31 (multiS_conv) or DualDilatedBlock."""
+    skip + Conv31 (multiS_conv) or DualDilatedBlock.
+
+    ``family`` selects the conv-block copy the reference variant imports:
+    'seg' = Models/Nets (IN flavor, base_blocks.py:9), 'dose' = the
+    BatchNorm/bare-fuse copy the OldModels TRANSEG decoder uses
+    (OldModels/Nets/base_blocks.py:10 imports OldModels blocks_MDUNet, whose
+    conv_3_1 is identical to the dose copy), 'ablation' =
+    base_blocks_ablation.py:9."""
 
     features: int
     upsample_kernel_size: int = 2
     act: str = "relu"
     multiS_conv: bool = True
+    family: str = "seg"
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -152,7 +160,8 @@ class ModifiedUnetrUpBlock(fnn.Module):
                             dtype=self.dtype, name="transp_conv")(x)
         x = jnp.concatenate([x, skip], axis=-1)
         cls = Conv31 if self.multiS_conv else DualDilatedBlock
-        return cls(self.features, act=self.act, dtype=self.dtype, name="conv_block")(x, train)
+        return cls(self.features, act=self.act, family=self.family,
+                   dtype=self.dtype, name="conv_block")(x, train)
 
 
 class ModifiedUnetOutBlock(fnn.Module):

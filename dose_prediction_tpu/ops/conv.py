@@ -95,6 +95,85 @@ def _conv3d_decomposed(x, w, b, stride, padding, dilation, accum_dtype):
     return out.astype(x.dtype)
 
 
+def _lanefold_factor(wd: int, cout: int) -> int:
+    """Largest power-of-two fold F ≤ 128//cout that divides W."""
+    f = max(1, 128 // cout)
+    while f > 1 and wd % f:
+        f //= 2
+    return f
+
+
+def _lanefold_applicable(x_shape, w_shape, stride, padding, dilation, groups) -> bool:
+    kd, kh, kw, _, cout = w_shape
+    wd = x_shape[3]
+    return (
+        groups == 1
+        and stride == (1, 1, 1)
+        and (kd, kh, kw) == (3, 3, 3)
+        and all(2 * p == dl * (k - 1) for k, p, dl in zip((kd, kh, kw), padding, dilation))
+        and cout <= 64
+        and _lanefold_factor(wd, cout) >= 2
+    )
+
+
+def _conv3d_lanefold(x, w, b, padding, dilation, accum_dtype):
+    """Same-size k3 conv as LANE-PACKED matmuls.
+
+    The architecture's narrow channel counts (Cout = 16..64) leave most of
+    the MXU's 128 result lanes idle in any per-position lowering — the
+    ~14 TF/s "narrow-channel ceiling" in docs/PERFORMANCE.md. This path packs
+    F = 128//Cout consecutive output w-positions into the lane axis instead:
+
+    - w-axis: outputs are grouped into blocks of F; each block's inputs are a
+      window of F + dil·(kw−1) positions, flattened with Cin into the
+      contraction axis. The kw taps live inside a BANDED expanded weight
+      matrix Wexp[(p, ci), (δ, co)] = w[(p−δ)/dil, ci, co] — so one matmul
+      computes all F positions × Cout channels = 128 dense lanes.
+    - d/h axes: shift-sum over the kd·kh taps (f32 accumulation), like
+      _conv3d_decomposed.
+
+    Useful-FLOP density is kw/(F + dil·(kw−1)) per matmul (30% at C=16,
+    50% at C=32, 75% at C=64), but the matmuls run at full-lane MXU rates, a
+    net ~3× over the per-position forms at C=16. Exact to float tolerance.
+    """
+    n, d, h, wd, cin = x.shape
+    kd, kh, kw, _, cout = w.shape
+    (pd, ph, pw) = padding
+    (dd, dh_, dw_) = dilation
+    f = _lanefold_factor(wd, cout)
+    win = f + dw_ * (kw - 1)
+    nb = wd // f
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (ph, ph), (pw, pw), (0, 0)))
+    dp, hp = d + 2 * pd, h + 2 * ph
+    # overlapping w-blocks: (N, Dp, Hp, nb, win·Cin)
+    patches = jnp.stack(
+        [lax.slice_in_dim(xp, bs, bs + win, axis=3) for bs in range(0, wd, f)],
+        axis=3,
+    ).reshape(n, dp, hp, nb, win * cin)
+
+    wt = w.astype(x.dtype)
+    out = None
+    for dz in range(kd):
+        for hz in range(kh):
+            # banded expansion of the kw taps: lane (δ, co) reads input
+            # positions δ + dil·t for t in 0..kw-1
+            wexp = jnp.zeros((win, cin, f, cout), wt.dtype)
+            for delta in range(f):
+                wexp = wexp.at[delta:delta + dw_ * (kw - 1) + 1:dw_, :, delta, :].set(
+                    wt[dz, hz])
+            wexp = wexp.reshape(win * cin, f * cout)
+            sl = lax.slice_in_dim(
+                lax.slice_in_dim(patches, dz * dd, dz * dd + d, axis=1),
+                hz * dh_, hz * dh_ + h, axis=2)
+            y = jnp.dot(sl.reshape(-1, win * cin), wexp,
+                        preferred_element_type=accum_dtype)
+            out = y if out is None else out + y
+    out = out.reshape(n, d, h, wd, cout)
+    if b is not None:
+        out = out + b.astype(accum_dtype)
+    return out.astype(x.dtype)
+
+
 def conv3d(
     x: jax.Array,
     w: jax.Array,
@@ -117,8 +196,9 @@ def conv3d(
             (symmetric zero padding of ``padding`` voxels per side).
         groups: feature group count.
         accum_dtype: MXU accumulation dtype.
-        method: 'auto' (decompose large depth kernels into 2D convs — see
-            _conv3d_decomposed), 'xla' (direct rank-5 conv), or 'decomposed'.
+        method: 'auto' (lane-folded matmuls for same-size narrow-channel k3;
+            depth-decomposed 2D convs for other kd≥3 / depth-dilated kernels),
+            'xla' (direct rank-5 conv), 'decomposed', or 'lanefold'.
 
     Returns:
         ``(N, D', H', W', Cout)`` in ``x.dtype``.
@@ -127,6 +207,13 @@ def conv3d(
     padding = _triple(padding)
     dilation = _triple(dilation)
     kd = w.shape[0]
+    # lanefold is opt-in only: measured on the live v5e it loses to the
+    # decomposed path (patch materialization + tall-skinny dot rates — see
+    # docs/PERFORMANCE.md "round-2 conv study"); kept for wide-lane parts
+    # and future Pallas composition.
+    use_lanefold = method == "lanefold"
+    if use_lanefold:
+        return _conv3d_lanefold(x, w, b, padding, dilation, accum_dtype)
     use_decomp = method == "decomposed" or (
         method == "auto" and groups == 1 and (kd >= 3 or dilation[0] > 1)
     )

@@ -84,7 +84,9 @@ def param_shardings(params: Any, mesh: Mesh,
         # drop axes that don't divide evenly (rule stays safe on any mesh)
         clean = []
         for dim, axis in enumerate(spec):
-            if axis is None:
+            if axis is None or axis not in mesh.shape:
+                # rule names an axis this mesh doesn't have (e.g. tp rules on
+                # a pure-dp mesh) — replicate that dim
                 clean.append(None)
                 continue
             size = mesh.shape[axis]

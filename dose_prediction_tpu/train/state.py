@@ -155,6 +155,66 @@ def cosine_schedule(base_lr: float, t_max: int, eta_min: float = 0.0) -> optax.S
     return sched
 
 
+def make_plateau_optimizer(
+    *,
+    base_lr: float,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Adam(W) with a runtime-adjustable learning rate: inject_hyperparams
+    stores the lr inside the optimizer state, so a host-side
+    ReduceLROnPlateau can rewrite it between steps (via set_learning_rate)
+    WITHOUT retracing the jitted train step — the reference's per-epoch
+    scheduler.step(val) path (network_trainer.py:137-153)."""
+    if weight_decay:
+        return optax.inject_hyperparams(optax.adamw)(
+            learning_rate=base_lr, b1=b1, b2=b2, eps=eps, weight_decay=weight_decay)
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=base_lr, b1=b1, b2=b2, eps=eps)
+
+
+def set_learning_rate(opt_state: Any, lr: float) -> Any:
+    """Return a copy of ``opt_state`` with every injected 'learning_rate'
+    hyperparameter replaced by ``lr`` (works through chains/tuples)."""
+
+    def walk(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            new_hp = dict(hp)
+            old = jnp.asarray(hp["learning_rate"])
+            new_hp["learning_rate"] = jnp.asarray(lr, old.dtype)
+            return node._replace(hyperparams=new_hp)
+        if hasattr(node, "_fields") and hasattr(node, "_replace"):  # namedtuple
+            return node._replace(**{f: walk(getattr(node, f)) for f in node._fields})
+        if isinstance(node, tuple):
+            return tuple(walk(c) for c in node)
+        return node
+
+    return walk(opt_state)
+
+
+def get_learning_rate(opt_state: Any) -> Optional[float]:
+    """Read back the first injected learning rate (None if not injectable)."""
+    found: list = []
+
+    def walk(node):
+        hp = getattr(node, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp and not found:
+            found.append(float(hp["learning_rate"]))
+            return
+        if hasattr(node, "_fields"):
+            for f in node._fields:
+                walk(getattr(node, f))
+        elif isinstance(node, tuple):
+            for c in node:
+                walk(c)
+
+    walk(opt_state)
+    return found[0] if found else None
+
+
 class ReduceLROnPlateau:
     """Host-side plateau scheduler (torch semantics: factor, patience, min on
     the monitored value). Produces a scale factor consumed by

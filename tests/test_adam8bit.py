@@ -65,6 +65,7 @@ def test_adam8bit_state_memory_savings(rng):
     assert not isinstance(state.mu[small_idx], Quantized)
 
 
+@pytest.mark.slow
 def test_adam8bit_in_train_state(rng):
     """Plugs into the framework's TrainState + step machinery."""
     from dose_prediction_tpu.models import BaseUNet

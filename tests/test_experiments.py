@@ -98,6 +98,7 @@ def test_model_monai_cascade():
     assert b.shape == (1, 32, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_resnet10_critic():
     x = jnp.zeros((2, 32, 32, 32, 1))
     model = resnet10(num_classes=1)
@@ -106,6 +107,7 @@ def test_resnet10_critic():
     assert y.shape == (2, 1)
 
 
+@pytest.mark.slow
 def test_vitgan_step(rng, tmp_path):
     from dose_prediction_tpu.train.gan import VitGANTrainer
     from dose_prediction_tpu.train.trainers import TrainConfig

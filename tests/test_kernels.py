@@ -71,3 +71,35 @@ def test_fused_attention_long_sequence_falls_back(rng):
     q = rng.standard_normal((1, 1, 2048, 8)).astype(np.float32)
     out = fused_attention(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q))
     assert out.shape == (1, 1, 2048, 8)
+
+
+# ---------------------------------------------------------------------------
+# Pallas direct k3 conv (kernels/conv3d.py)
+# ---------------------------------------------------------------------------
+
+def test_pallas_conv3d_k3_matches_xla(rng):
+    from dose_prediction_tpu.kernels.conv3d import conv3d_k3
+    from dose_prediction_tpu.ops.conv import conv3d
+
+    for shape, cout in [((1, 8, 8, 16, 16), 16), ((1, 8, 8, 8, 32), 32),
+                        ((2, 4, 8, 16, 16), 16)]:
+        cin = shape[-1]
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+        ref = conv3d(x, w, b, padding=1, method="xla")
+        got = conv3d_k3(x, w, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_conv3d_k3_grad(rng):
+    from dose_prediction_tpu.kernels.conv3d import conv3d_k3
+    from dose_prediction_tpu.ops.conv import conv3d
+
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 16, 16)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 16, 16)).astype(np.float32) * 0.2)
+    g1 = jax.grad(lambda w_: jnp.sum(jnp.sin(
+        conv3d(x, w_, None, padding=1, method="xla"))))(w)
+    g2 = jax.grad(lambda w_: jnp.sum(jnp.sin(conv3d_k3(x, w_, None, interpret=True))))(w)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-3, atol=2e-4)

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_cascade_fused_matches_staged(rng):
     from dose_prediction_tpu.infer.cascade import make_cascade_fn
     from dose_prediction_tpu.models import DosePyfer, TranSeg

@@ -46,6 +46,7 @@ def test_cascade_c3d_shapes():
     assert b.shape == (1, 16, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_dose_pyfer_topology():
     x = jnp.zeros((1, 32, 32, 32, 9))
     model = DosePyfer(
@@ -80,6 +81,7 @@ def test_transeg_topology():
     assert y.shape == (1, 32, 32, 32, 8)
 
 
+@pytest.mark.slow
 def test_hdunet_shapes():
     x = jnp.zeros((1, 16, 16, 16, 9))
     model = HDUNet(growth_rate=4, upsample_chan=8)
@@ -87,6 +89,7 @@ def test_hdunet_shapes():
     assert y.shape == (1, 16, 16, 16, 1)
 
 
+@pytest.mark.slow
 def test_dosegan_generator_and_discriminator():
     x = jnp.zeros((1, 32, 32, 32, 9))
     gen = UnetGenerator3D(out_ch=1, ngf=4, num_levels=5)
@@ -102,6 +105,7 @@ def test_dosegan_generator_and_discriminator():
     assert score.shape == (1, 4, 4, 4, 1)  # 3 stride-2 blocks: 32 -> 4
 
 
+@pytest.mark.slow
 def test_dose_pyfer_grad_flows():
     """Gradients flow to net_B and are exactly zero-masked nowhere (sanity)."""
     x = jnp.ones((1, 32, 32, 32, 9)) * 0.1

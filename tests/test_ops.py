@@ -58,6 +58,31 @@ def test_conv3d_matches_torch(rng, k, stride, padding, dilation):
 
 
 @pytest.mark.parametrize(
+    "cin,cout,dilation",
+    [(16, 16, 1), (16, 32, 1), (8, 16, 2), (4, 4, 3), (64, 64, 1), (3, 5, 1)],
+)
+def test_conv3d_lanefold_matches_xla(rng, cin, cout, dilation):
+    """Lane-folded k3 matmuls (MXU 128-lane packing) == the rank-5 XLA conv,
+    forward and gradient."""
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 16, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    ref = ops.conv3d(x, w, b, padding=dilation, dilation=dilation, method="xla")
+    got = ops.conv3d(x, w, b, padding=dilation, dilation=dilation, method="lanefold")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    import jax
+
+    def loss(method):
+        return lambda w_: jnp.sum(jnp.tanh(
+            ops.conv3d(x, w_, None, padding=dilation, dilation=dilation, method=method)))
+
+    g_ref = jax.grad(loss("xla"))(w)
+    g_got = jax.grad(loss("lanefold"))(w)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize(
     "k,stride,padding,dilation",
     [(7, 1, 3, 1), (5, 2, 2, 1), (3, 1, 2, 2), (3, 2, 3, 3), (7, 2, 3, 1)],
 )

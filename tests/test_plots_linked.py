@@ -44,6 +44,7 @@ def test_slice_triptychs(tmp_path, rng):
     assert len(files) == 2  # slices 0 and 4
 
 
+@pytest.mark.slow
 def test_exp_model_trainer(tmp_path, ds):
     from dose_prediction_tpu.models.experiments import VitGenerator
     from dose_prediction_tpu.train.trainers import ExpModelTrainer, TrainConfig

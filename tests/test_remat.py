@@ -1,6 +1,7 @@
 """Rematerialized forward produces the same loss and gradients as plain."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,7 @@ SMALL = dict(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
              hidden_size=24, mlp_dim=48, num_layers=4, num_heads=2)
 
 
+@pytest.mark.slow
 def test_remat_loss_and_grads_match(rng):
     model = DosePyfer(**SMALL)
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 32, 9)).astype(np.float32))
@@ -49,6 +51,7 @@ def test_remat_loss_and_grads_match(rng):
                                    atol=1e-4, rtol=0)
 
 
+@pytest.mark.slow
 def test_remat_step_runs(rng):
     """The remat=True step factory trains (loss finite, step increments)."""
     from dose_prediction_tpu.train import state as S

@@ -1,6 +1,7 @@
 """Per-block remat (remat_blocks=True) matches the plain model."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,7 @@ def test_remat_blocks_same_params_and_outputs(rng):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_blocks_grads_close(rng):
     plain = DosePyfer(**SMALL, remat_blocks=False)
     remat = DosePyfer(**SMALL, remat_blocks=True)

@@ -35,6 +35,7 @@ def _dose_batch(rng, size=32):
     return {"input": jnp.asarray(inp), "gt": jnp.asarray(np.concatenate([dose, mask], -1))}
 
 
+@pytest.mark.slow
 def test_pyfer_train_step_descends_and_freezes(rng):
     model = DosePyfer(**SMALL_PYFER)
     batch = _dose_batch(rng)
@@ -92,6 +93,7 @@ def test_c3d_cascade_step(rng):
     assert float(loss) < l0
 
 
+@pytest.mark.slow
 def test_transeg_step(rng):
     model = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
                     num_layers=4, num_heads=2)

@@ -52,6 +52,7 @@ def test_pyfer_trainer_end_to_end(tmp_path, synthetic_ds):
     assert len(results["per_patient"]) == 2
 
 
+@pytest.mark.slow
 def test_pyfer_trainer_resume(tmp_path, synthetic_ds):
     cfg = TrainConfig(max_epochs=1, check_val=1, max_steps=2,
                       ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
@@ -64,6 +65,7 @@ def test_pyfer_trainer_resume(tmp_path, synthetic_ds):
     assert int(tr2.state.step) >= 2
 
 
+@pytest.mark.slow
 def test_c3d_trainer(tmp_path, synthetic_ds):
     cfg = TrainConfig(max_epochs=1, check_val=1, max_steps=2, learning_rate=1e-3,
                       ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
@@ -72,13 +74,112 @@ def test_c3d_trainer(tmp_path, synthetic_ds):
     assert np.isfinite(float(tr.state.moving_loss))
 
 
+@pytest.mark.slow
 def test_transeg_trainer_with_sliding_val(tmp_path, synthetic_ds):
     cfg = TrainConfig(max_epochs=1, check_val=1, max_steps=2, batch_size=2,
                       ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
     tr = TranSegTrainer(cfg, model=SMALL_SEG, crop=(16, 16, 16))
     tr.fit(synthetic_ds, val_ds=None, num_samples=2)
-    dice, hd95 = tr.validate(synthetic_ds, sw_batch_size=2)
+    dice, hd95, val_loss = tr.validate(synthetic_ds, sw_batch_size=2)
     assert np.isnan(dice) or 0.0 <= dice <= 1.0
+    # the monitored value is a true validation DiceCE, not the train loss
+    assert np.isfinite(val_loss) and val_loss > 0.0
+
+
+@pytest.mark.slow
+def test_pyfer_last_slot_resume(tmp_path, synthetic_ds):
+    """Crash-resume granularity: 'last' is saved every epoch, so a run with NO
+    monitored (val-epoch) save still resumes (train_light_pyfer.py:343-347)."""
+    cfg = TrainConfig(max_epochs=1, check_val=50, max_steps=2,
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = PyferTrainer(cfg, model=SMALL_PYFER, example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, val_ds=None, resume=False)
+    steps_after_first = int(tr.state.step)
+    assert steps_after_first >= 2
+
+    cfg2 = TrainConfig(max_epochs=2, check_val=50, max_steps=4,
+                       ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr2 = PyferTrainer(cfg2, model=SMALL_PYFER, example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr2.fit(synthetic_ds, val_ds=None, resume=True)
+    # resumed from the last-slot state (step counter carried over), epoch 1 ran
+    assert int(tr2.state.step) > steps_after_first
+
+
+@pytest.mark.slow
+def test_c3d_plateau_lr_wiring(tmp_path, synthetic_ds):
+    """ReduceLROnPlateau consumed through optax.inject_hyperparams: a plateau
+    forced to never improve must shrink the live lr inside the optimizer
+    state mid-fit (network_trainer.py:137-153)."""
+    from dose_prediction_tpu.train import state as S
+
+    plateau = S.ReduceLROnPlateau(factor=0.5, patience=0, base_lr=1e-3)
+    plateau.best = -np.inf  # nothing can improve on -inf in 'min' mode
+    cfg = TrainConfig(max_epochs=2, check_val=1, max_steps=4, learning_rate=1e-3,
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = CascadeC3DTrainer(cfg, model=SMALL_C3D,
+                           example_shape=(1, SIZE, SIZE, SIZE, 9), plateau=plateau)
+    assert S.get_learning_rate(tr.state.opt_state) == pytest.approx(1e-3)
+    tr.fit(synthetic_ds, synthetic_ds)
+    live_lr = S.get_learning_rate(tr.state.opt_state)
+    assert live_lr == pytest.approx(plateau.lr)
+    assert live_lr < 1e-3
+
+
+def _read_losses(log_dir):
+    import json
+    out = []
+    with open(log_dir / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train_mean_loss" in rec:
+                out.append(rec["train_mean_loss"])
+    return out
+
+
+@pytest.mark.slow
+def test_pyfer_trainer_mesh_matches_single_device(tmp_path, tmp_path_factory):
+    """PRODUCT-path mesh training (VERDICT r1 item 1): PyferTrainer on a
+    dp:4×tp:2 mesh must follow the single-device loss trajectory to fp
+    tolerance — same batches, same init, gradients all-reduced by GSPMD."""
+    from dose_prediction_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("openkbp4")
+    synthetic_ds = OpenKBPDataset(
+        make_synthetic_dataset(root, n_patients=4, shape=(SIZE, SIZE, SIZE)))
+
+    def run(mesh_shape, tag):
+        cfg = TrainConfig(max_epochs=2, check_val=50, batch_size=4,
+                          learning_rate=1e-3, mesh_shape=mesh_shape,
+                          ckpt_dir=str(tmp_path / tag / "ckpt"),
+                          log_dir=str(tmp_path / tag / "logs"))
+        tr = PyferTrainer(cfg, model=SMALL_PYFER,
+                          example_shape=(4, SIZE, SIZE, SIZE, 9))
+        tr.fit(synthetic_ds, val_ds=None, resume=False)
+        return _read_losses(tmp_path / tag / "logs")
+
+    single = run(None, "single")
+    mesh = run({"data": 4, "model": 2}, "mesh")
+    assert len(single) == len(mesh) == 2
+    np.testing.assert_allclose(mesh, single, rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_transeg_trainer_mesh_dp(tmp_path, synthetic_ds):
+    """Seg trainer dp over the crop batch."""
+    cfg = TrainConfig(max_epochs=1, check_val=50, max_steps=1, batch_size=4,
+                      mesh_shape={"data": 4}, learning_rate=1e-3,
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = TranSegTrainer(cfg, model=SMALL_SEG, crop=(16, 16, 16))
+    tr.fit(synthetic_ds, val_ds=None, num_samples=2)
+    assert np.isfinite(float(tr.state.moving_loss))
+
+
+def test_mesh_batch_divisibility_error(tmp_path, synthetic_ds):
+    cfg = TrainConfig(max_epochs=1, batch_size=3, mesh_shape={"data": 4},
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = PyferTrainer(cfg, model=SMALL_PYFER, example_shape=(1, SIZE, SIZE, SIZE, 9))
+    with pytest.raises(ValueError, match="divisible"):
+        tr.fit(synthetic_ds, resume=False)
 
 
 def test_evaluate_dose_model_perfect_prediction(synthetic_ds):

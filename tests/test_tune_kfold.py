@@ -82,6 +82,84 @@ def test_asha_stops_bad_trials():
     assert res["best_value"] == min(t["last_value"] for t in res["trials"])
 
 
+def test_asha_actually_early_stops_some_trial():
+    """With a wide quality spread, ASHA must halt at least one trial before
+    max_t (the VERDICT weak-3 regression: report wired but never halting)."""
+    sched = ASHAScheduler(max_t=16, grace_period=2, reduction_factor=2, mode="min")
+    epochs_run = []
+
+    def train_trial(config, report):
+        val = config["lr"]
+        for epoch in range(1, 17):
+            if report(epoch, val):
+                epochs_run.append(epoch)
+                return val
+        epochs_run.append(16)
+        return val
+
+    run_search(train_trial, space={"lr": LogUniform(1e-4, 1e-1)},
+               num_samples=8, scheduler=sched, seed=3, mode="min")
+    assert any(e < 16 for e in epochs_run)
+
+
+def test_tpe_beats_random_on_quadratic():
+    """TPE search quality: on f(lr)=(log lr - log 1e-2)^2 the TPE sampler's
+    best-found value should beat random sampling with the same budget."""
+    from dose_prediction_tpu.train.tune import TPESampler
+
+    space = {"lr": LogUniform(1e-5, 1e0), "act": Choice(["relu", "mish"])}
+
+    def f(cfg):
+        return (np.log(cfg["lr"]) - np.log(1e-2)) ** 2 + (cfg["act"] == "relu") * 0.1
+
+    def run(sampler_kind, seed):
+        def train_trial(config, report):
+            return f(config)
+        res = run_search(train_trial, space=space, num_samples=30,
+                         sampler=sampler_kind, seed=seed, mode="min")
+        return res["best_value"]
+
+    tpe_wins = sum(run("tpe", s) <= run("random", s) for s in range(5))
+    assert tpe_wins >= 3
+
+
+def test_tpe_suggest_respects_bounds_and_types():
+    from dose_prediction_tpu.train.tune import TPESampler
+
+    space = {"lr": LogUniform(1e-4, 1e-1), "u": __import__(
+        "dose_prediction_tpu.train.tune", fromlist=["Uniform"]).Uniform(0.0, 1.0),
+        "act": Choice(["a", "b"]), "fixed": 5}
+    tpe = TPESampler(n_startup=2, seed=0)
+    history = [({"lr": 1e-3, "u": 0.5, "act": "a", "fixed": 5}, 1.0),
+               ({"lr": 1e-2, "u": 0.2, "act": "b", "fixed": 5}, 0.5),
+               ({"lr": 5e-3, "u": 0.9, "act": "b", "fixed": 5}, 0.7)]
+    for _ in range(20):
+        cfg = tpe.suggest(space, history)
+        assert 1e-4 <= cfg["lr"] <= 1e-1
+        assert 0.0 <= cfg["u"] <= 1.0
+        assert cfg["act"] in ("a", "b")
+        assert cfg["fixed"] == 5
+
+
+def test_concurrent_trials_run_and_aggregate():
+    """max_concurrent>1: trials execute on parallel threads (one per device)
+    and the aggregate result is identical in structure."""
+    import threading as th
+
+    seen_threads = set()
+
+    def train_trial(config, report):
+        seen_threads.add(th.get_ident())
+        report(1, config["lr"])
+        return config["lr"]
+
+    res = run_search(train_trial, space={"lr": LogUniform(1e-4, 1e-1)},
+                     num_samples=8, seed=0, mode="min", max_concurrent=4)
+    assert len(res["trials"]) == 8
+    assert len(seen_threads) > 1
+    assert res["best_value"] == min(t["last_value"] for t in res["trials"])
+
+
 def test_pbt_improves_population():
     """Metric = lr (lower better); PBT should drag the population toward the
     best member's config over time."""
