@@ -63,6 +63,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.dose_io_preprocess_ct.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_float, ctypes.c_float, ctypes.c_float]
+    if hasattr(lib, "dose_io_augment_dose_bf16"):
+        lib.dose_io_augment_dose_bf16.restype = ctypes.c_int
+        lib.dose_io_augment_dose_bf16.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -151,6 +160,56 @@ def read_batch_f32(paths: Sequence[str | Path], *, n_threads: int = 4
         out.append((np.ascontiguousarray(data),
                     (spacings[3 * i], spacings[3 * i + 1], spacings[3 * i + 2])))
     return out
+
+
+def draw_augment_decisions(rng: np.random.Generator,
+                           *, shift_prob: float = 0.50, offsets: float = 0.10,
+                           flip_prob: float = 0.10, rot_prob: float = 0.10,
+                           max_k: int = 3) -> Tuple[float, int, int]:
+    """Draw (shift, flip_mask, rot_k) in EXACTLY the rng order the numpy
+    chain uses (transforms.augment_dose_sample: shift → 3 flips → rot90), so
+    the native and numpy paths consume identical random streams."""
+    shift = float(rng.uniform(-offsets, offsets)) if rng.random() < shift_prob else 0.0
+    flip_mask = 0
+    for axis in range(3):
+        if rng.random() < flip_prob:
+            flip_mask |= 1 << axis
+    rot_k = int(rng.integers(1, max_k + 1)) if rng.random() < rot_prob else 0
+    return shift, flip_mask, rot_k
+
+
+def augment_dose_bf16(inp: np.ndarray, gt: np.ndarray,
+                      rng: np.random.Generator, *, n_threads: int = 4
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Fused native augmentation + bf16 cast for one (D,H,W,Ci)/(D,H,W,Cg)
+    sample: one gather pass instead of the numpy chain's several full-volume
+    copies, and the output ships as bf16 (halves the H2D payload). Returns
+    None when the native library is unavailable (callers fall back to the
+    numpy chain). Outputs are uint16-viewed bf16 (reinterpret with
+    jnp .view/bitcast or ml_dtypes.bfloat16)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dose_io_augment_dose_bf16"):
+        return None
+    if inp.dtype != np.float32 or gt.dtype != np.float32:
+        return None
+    inp = np.ascontiguousarray(inp)
+    gt = np.ascontiguousarray(gt)
+    shift, flip_mask, rot_k = draw_augment_decisions(rng)
+    d, h, w, ci = inp.shape
+    cg = gt.shape[-1]
+    od, oh = (h, d) if rot_k % 2 else (d, h)
+    out_inp = np.empty((od, oh, w, ci), np.uint16)
+    out_gt = np.empty((od, oh, w, cg), np.uint16)
+    rc = lib.dose_io_augment_dose_bf16(
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        d, h, w, ci, cg, shift, flip_mask, rot_k,
+        out_inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out_gt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n_threads)
+    if rc != 0:
+        return None
+    return out_inp, out_gt
 
 
 def preprocess_ct_inplace(buf: np.ndarray, a_min: float = -1024.0,

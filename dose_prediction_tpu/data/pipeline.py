@@ -29,12 +29,19 @@ def dose_batches(
     seed: int = 0,
     drop_last: bool = False,
     num_samples_per_epoch: int | None = None,
+    native_bf16: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """One epoch of {'input': (N,D,H,W,9), 'gt': (N,D,H,W,2)} batches.
 
     ``num_samples_per_epoch`` reproduces the legacy loader's index-wraparound
     sampling (dataloader_OpenKBP_C3D.py:129-134): an epoch longer (or
     shorter) than the dataset cycles through it modulo its length.
+
+    ``native_bf16=True`` runs augmentation through the fused C++ path
+    (native/dose_io.cpp::dose_io_augment_dose_bf16) and yields bfloat16
+    batches — one gather pass instead of several numpy copies, and half the
+    host→device payload. Identical semantics and random stream (parity
+    tested); falls back to the numpy chain when the library is unavailable.
     """
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
@@ -43,6 +50,11 @@ def dose_batches(
     if num_samples_per_epoch is not None:
         reps = -(-num_samples_per_epoch // len(order))
         order = np.tile(order, reps)[:num_samples_per_epoch]
+    bf16 = None
+    if native_bf16:
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
     for i in range(0, len(order), batch_size):
         idx = order[i:i + batch_size]
         if drop_last and len(idx) < batch_size:
@@ -51,8 +63,19 @@ def dose_batches(
         for j in idx:
             p = dataset[int(j)]
             inp, gt = p.model_input, p.gt
+            if augment and bf16 is not None and inp.shape[0] == inp.shape[1]:
+                from dose_prediction_tpu.data import native as N
+
+                out = N.augment_dose_bf16(inp, gt, rng)
+                if out is not None:
+                    inputs.append(out[0].view(bf16))
+                    gts.append(out[1].view(bf16))
+                    continue
             if augment:
                 inp, gt = augment_dose_sample(inp, gt, rng)
+            if bf16 is not None:
+                inp = inp.astype(bf16)
+                gt = gt.astype(bf16)
             inputs.append(inp)
             gts.append(gt)
         yield {"input": np.stack(inputs), "gt": np.stack(gts)}

@@ -299,4 +299,77 @@ void dose_io_preprocess_ct(float* buf, int64_t n, float a_min, float a_max,
   }
 }
 
+// Fused dose-task augmentation + bf16 cast (the train-feed hot path: the
+// numpy chain does several full-volume copies and the host is 1-core; this
+// single gather pass emits bf16 directly, halving the H2D payload too).
+//
+// Semantics mirror data/transforms.augment_dose_sample: intensity shift on
+// the LAST input channel, then flips over the three spatial axes, then
+// rot90(k, axes=(0,1)). Random DECISIONS are drawn by the Python caller (one
+// rng, same order as the numpy chain) and passed in — this function is
+// deterministic. np.rot90(m, 1, (0,1)): out[i, j] = m[j, H_in-1-i].
+//
+// inp: (D,H,W,Ci) f32 contiguous; gt: (D,H,W,Cg). Outputs have spatial dims
+// (D',H') = rot_k odd ? (H,D) : (D,H). flip_mask bit a = flip input axis a.
+int dose_io_augment_dose_bf16(const float* inp, const float* gt,
+                              int64_t d, int64_t h, int64_t w,
+                              int64_t ci, int64_t cg,
+                              float shift, int flip_mask, int rot_k,
+                              uint16_t* out_inp, uint16_t* out_gt,
+                              int n_threads) {
+  rot_k = ((rot_k % 4) + 4) % 4;
+  const int64_t od = (rot_k % 2) ? h : d;
+  const int64_t oh = (rot_k % 2) ? d : h;
+
+  auto to_bf16 = [](float f) -> uint16_t {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    uint32_t lsb = (x >> 16) & 1u;
+    x += 0x7fffu + lsb;  // round to nearest even
+    return static_cast<uint16_t>(x >> 16);
+  };
+
+  auto process_rows = [&](int64_t row0, int64_t row1) {
+    for (int64_t i = row0; i < row1; ++i) {
+      for (int64_t j = 0; j < oh; ++j) {
+        // invert rot90^k on the (0,1) plane (np.rot90: out[i,j] = in[j, H-1-i])
+        int64_t sd, sh;
+        switch (rot_k) {
+          case 0: sd = i;          sh = j;          break;
+          case 1: sd = j;          sh = h - 1 - i;  break;   // out(H,D)
+          case 2: sd = d - 1 - i;  sh = h - 1 - j;  break;
+          default: sd = d - 1 - j; sh = i;          break;   // k=3, out(H,D)
+        }
+        if (flip_mask & 1) sd = d - 1 - sd;
+        if (flip_mask & 2) sh = h - 1 - sh;
+        const int64_t out_row = (i * oh + j) * w;
+        for (int64_t k = 0; k < w; ++k) {
+          int64_t sw = (flip_mask & 4) ? (w - 1 - k) : k;
+          const float* pin = inp + ((sd * h + sh) * w + sw) * ci;
+          uint16_t* pout = out_inp + (out_row + k) * ci;
+          for (int64_t c = 0; c < ci - 1; ++c) pout[c] = to_bf16(pin[c]);
+          pout[ci - 1] = to_bf16(pin[ci - 1] + shift);
+          const float* ping = gt + ((sd * h + sh) * w + sw) * cg;
+          uint16_t* poutg = out_gt + (out_row + k) * cg;
+          for (int64_t c = 0; c < cg; ++c) poutg[c] = to_bf16(ping[c]);
+        }
+      }
+    }
+  };
+
+  if (n_threads <= 1 || od < 2 * n_threads) {
+    process_rows(0, od);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (od + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t r0 = t * chunk, r1 = std::min(od, r0 + chunk);
+    if (r0 >= r1) break;
+    threads.emplace_back([=] { process_rows(r0, r1); });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -70,10 +70,12 @@ def main(steps: int = 60) -> None:
     def epochs():
         epoch = 0
         while True:
-            # ship bf16 over the wire: halves the H2D transfer (the tunnel is
-            # the wall-clock bottleneck; the device step itself is ~0.3 s)
-            for batch in dose_batches(ds, batch_size=1, seed=epoch):
-                yield {k: jnp.asarray(v, jnp.bfloat16) for k, v in batch.items()}
+            # native fused augment + bf16 (5× faster host feed, half the H2D
+            # payload — the tunnel is the wall-clock bottleneck; the device
+            # step itself is ~0.3 s)
+            for batch in dose_batches(ds, batch_size=1, seed=epoch,
+                                      native_bf16=True):
+                yield batch
             epoch += 1
 
     t0 = time.perf_counter()

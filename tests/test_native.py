@@ -78,3 +78,57 @@ def test_native_rejects_garbage(tmp_path):
     p = tmp_path / "junk.nii.gz"
     p.write_bytes(b"not a nifti at all")
     assert read_volume_f32(p) is None
+
+
+# ---------------------------------------------------------------------------
+# fused native augmentation + bf16 (dose_io_augment_dose_bf16)
+# ---------------------------------------------------------------------------
+
+def test_native_augment_matches_numpy_chain():
+    """Native fused augment+cast == the numpy chain (same rng stream) cast to
+    bf16, across many random decision draws (flips/rot90/shift all fire)."""
+    import ml_dtypes
+
+    from dose_prediction_tpu.data import native as N
+    from dose_prediction_tpu.data import transforms as T
+
+    if not N.native_available():
+        pytest.skip("native library unavailable")
+    for trial in range(20):
+        rng1 = np.random.default_rng(100 + trial)
+        rng2 = np.random.default_rng(100 + trial)
+        data = np.random.default_rng(trial)
+        inp = data.normal(size=(10, 10, 6, 4)).astype(np.float32)
+        gt = data.normal(size=(10, 10, 6, 2)).astype(np.float32)
+        ref_inp, ref_gt = T.augment_dose_sample(inp, gt, rng1)
+        out = N.augment_dose_bf16(inp, gt, rng2, n_threads=2)
+        assert out is not None
+        np.testing.assert_array_equal(out[0], ref_inp.astype(ml_dtypes.bfloat16).view(np.uint16))
+        np.testing.assert_array_equal(out[1], ref_gt.astype(ml_dtypes.bfloat16).view(np.uint16))
+
+
+def test_dose_batches_native_bf16(tmp_path):
+    """pipeline.dose_batches(native_bf16=True) yields bf16 batches equal to
+    the numpy chain (same seed) cast to bf16."""
+    import ml_dtypes
+
+    from dose_prediction_tpu.data import native as N
+    from dose_prediction_tpu.data.openkbp import OpenKBPDataset
+    from dose_prediction_tpu.data.pipeline import dose_batches
+    from dose_prediction_tpu.data.synthetic import make_synthetic_dataset
+
+    if not N.native_available():
+        pytest.skip("native library unavailable")
+    pattern = make_synthetic_dataset(tmp_path, n_patients=2, shape=(16, 16, 16))
+    ds = OpenKBPDataset(pattern)
+    ref = list(dose_batches(ds, batch_size=1, seed=3))
+    nat = list(dose_batches(ds, batch_size=1, seed=3, native_bf16=True))
+    assert len(ref) == len(nat)
+    for r, n in zip(ref, nat):
+        assert n["input"].dtype == ml_dtypes.bfloat16
+        np.testing.assert_array_equal(
+            n["input"].view(np.uint16),
+            r["input"].astype(ml_dtypes.bfloat16).view(np.uint16))
+        np.testing.assert_array_equal(
+            n["gt"].view(np.uint16),
+            r["gt"].astype(ml_dtypes.bfloat16).view(np.uint16))
