@@ -36,6 +36,8 @@ def _add_common(p: argparse.ArgumentParser):
                         "(batch-size must divide by the data axis)")
     p.add_argument("--model-size", choices=["full", "small"], default="full",
                    help="'small' = reduced-width dev model for smoke runs/CI")
+    p.add_argument("--feed-dtype", choices=["float32", "bfloat16"], default="float32",
+                   help="bfloat16 = native fused augmentation + half H2D payload")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -127,6 +129,7 @@ def main(argv=None) -> int:
             delta1=getattr(args, "delta1", 10.0), delta2=getattr(args, "delta2", 8.0),
             freeze_net_a=not getattr(args, "no_freeze", False),
             mesh_shape=parse_mesh(getattr(args, "mesh", None)),
+            feed_dtype=getattr(args, "feed_dtype", "float32"),
         )
 
     def pyfer_model(act="relu", multiS_conv=True):

@@ -56,7 +56,7 @@ def _expand_weights(w: jax.Array, f: int, c: int) -> jax.Array:
 
 
 def _kernel(x_hbm, wexp_ref, o_ref, buf, acc, sem, *, td_chunk: int, h: int,
-            hp: int, lp: int, nb: int, c: int, f: int, out_l: int):
+            nb: int, f: int):
     """Grid: (num_d_chunks,). x_hbm: (DP, HP, Lp) in ANY/HBM.
     buf: VMEM (td_chunk+2, HP, Lp); acc: VMEM (td_chunk, h, out_l) f32."""
     i = pl.program_id(0)
@@ -112,8 +112,7 @@ def _conv3d_k3_fwd(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
 
     grid = (d // td_chunk,)
     out = pl.pallas_call(
-        functools.partial(_kernel, td_chunk=td_chunk, h=h, hp=hp, lp=lp,
-                          nb=nb, c=c, f=f, out_l=out_l),
+        functools.partial(_kernel, td_chunk=td_chunk, h=h, nb=nb, f=f),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),

@@ -63,6 +63,10 @@ class TrainConfig:
     # e.g. {'data': 4} for dp or {'data': 4, 'model': 2} for dp×tp. None =
     # single chip. batch_size must be divisible by the 'data' axis.
     mesh_shape: Optional[Dict[str, int]] = None
+    # 'bfloat16' routes the dose feed through the fused native augmentation
+    # (one C++ gather pass + bf16 cast: 5× host-side, half the H2D payload —
+    # docs/PERFORMANCE.md). Pair with a bf16-dtype model for best effect.
+    feed_dtype: str = "float32"      # 'float32' | 'bfloat16'
 
 
 def _init_state_with_mesh(variables, tx, mesh_shape, *, tp_rules=None):
@@ -170,7 +174,8 @@ class PyferTrainer:
             epoch_losses: List[float] = []
             it = _timed_batches(device_prefetch(dose_batches(
                 train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
-                drop_last=self.batch_sharding is not None),
+                drop_last=self.batch_sharding is not None,
+                native_bf16=cfg.feed_dtype == "bfloat16"),
                 sharding=self.batch_sharding), timer)
             for batch in it:
                 timer.tick()

@@ -125,6 +125,17 @@ def test_c3d_plateau_lr_wiring(tmp_path, synthetic_ds):
     assert live_lr < 1e-3
 
 
+def test_pyfer_trainer_bf16_feed(tmp_path, synthetic_ds):
+    """feed_dtype='bfloat16' routes through the native fused augmentation and
+    trains to a finite loss."""
+    cfg = TrainConfig(max_epochs=1, check_val=50, max_steps=1,
+                      feed_dtype="bfloat16",
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = PyferTrainer(cfg, model=SMALL_PYFER, example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, val_ds=None, resume=False)
+    assert np.isfinite(float(tr.state.moving_loss))
+
+
 def _read_losses(log_dir):
     import json
     out = []
