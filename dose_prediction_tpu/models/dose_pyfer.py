@@ -174,8 +174,15 @@ class DosePyfer(fnn.Module):
     dtype: Any = jnp.float32
 
     @fnn.compact
-    def __call__(self, x, train: bool = True) -> Tuple[jax.Array, List[jax.Array]]:
+    def __call__(self, x, train: bool = True,
+                 stop_gradient_a: bool = False) -> Tuple[jax.Array, List[jax.Array]]:
         out_a = BaseUNet(self.list_ch_A, dtype=self.dtype, name="net_A")(x)
+        if stop_gradient_a:
+            # frozen-net_A training (train_light_pyfer.py:85-88): cutting the
+            # gradient here lets XLA drop net_A's entire backward pass AND its
+            # saved activations — torch's requires_grad=False does the same;
+            # an optax zero-update mask alone still back-propagates through A.
+            out_a = jax.lax.stop_gradient(out_a)
         outs_b = MainSubsetModel(
             out_ch=self.out_ch,
             feature_size=self.feature_size,

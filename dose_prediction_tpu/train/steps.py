@@ -39,9 +39,13 @@ def make_pyfer_train_step(
     """
 
     def apply_fn(params, batch_stats, x):
+        # freeze ⇒ stop_gradient at the cascade handoff: net_A's backward and
+        # activation storage vanish (requires_grad=False parity; the optax
+        # freeze mask alone would compute-then-zero those grads)
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             x, train=True, mutable=["batch_stats"],
+            stop_gradient_a=freeze,
         )
 
     if remat:

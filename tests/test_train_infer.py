@@ -204,3 +204,42 @@ def test_cascade_program(rng):
     o = np.asarray(out)
     m = np.asarray(mask)
     assert (o[m < 1] == 0).all() and (o >= 0).all()
+
+
+@pytest.mark.slow
+def test_frozen_cascade_stop_gradient_equivalence():
+    """stop_gradient at the cascade handoff (freeze=True) must leave the loss
+    and every TRAINABLE (net_B) gradient bit-identical — it only removes the
+    net_A backward work that the optax freeze mask would zero anyway."""
+    import jax
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.models import DosePyfer
+    from dose_prediction_tpu.train import losses as L
+
+    model = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                      hidden_size=24, mlp_dim=48, num_layers=4, num_heads=2)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 32, 9)),
+                    jnp.float32)
+    gt = jnp.concatenate([
+        jnp.abs(x[..., :1]), (x[..., 1:2] > 0).astype(jnp.float32)], -1)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params, stop):
+        (pred_a, preds_b), _ = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            x, train=True, mutable=["batch_stats"], stop_gradient_a=stop)
+        return L.gen_loss((pred_a, preds_b), gt, cascade=True, freeze=True)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(p, False))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(p, True))(variables["params"])
+    assert float(l0) == float(l1)
+    for key in g0:
+        if key in ("net_A", "conv_out_A"):
+            # with stop_gradient these are exactly zero (previously nonzero
+            # but masked by optax.set_to_zero)
+            assert all(float(jnp.max(jnp.abs(leaf))) == 0.0
+                       for leaf in jax.tree.leaves(g1[key]))
+        else:
+            for a, b in zip(jax.tree.leaves(g0[key]), jax.tree.leaves(g1[key])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
