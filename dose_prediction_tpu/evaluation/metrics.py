@@ -7,6 +7,7 @@ equivalents with static shapes for use inside jit (validation loops).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -252,7 +253,9 @@ def masked_percentile_jax(values: jax.Array, mask: jax.Array, q: jax.Array) -> j
     frac = pos - lo.astype(jnp.float32)
     val_lo = v_sorted[lo]
     val_hi = jnp.where(hi < n, v_sorted[hi], val_lo)
-    return val_lo + frac * (val_hi - val_lo)
+    # empty mask → every sorted slot is +inf; return 0 so a downstream
+    # validity-weighted sum stays finite (0·inf would poison it with NaN)
+    return jnp.where(n > 0, val_lo + frac * (val_hi - val_lo), 0.0)
 
 
 def dvh_metrics_jax(dose: jax.Array, mask: jax.Array, *, mode: str,
@@ -296,3 +299,63 @@ def ivs_sweep_jax(pred: jax.Array, gt: jax.Array, *, max_gy: float = 70.0,
     inter = jnp.sum(p & g, axis=1).astype(jnp.float32)
     denom = (jnp.sum(p, axis=1) + jnp.sum(g, axis=1)).astype(jnp.float32)
     return 2.0 * inter / jnp.maximum(denom, 1.0)
+
+
+def stack_structures(structures: Dict[str, np.ndarray], shape) -> "tuple[np.ndarray, np.ndarray]":
+    """Pack a patient's structure dict into a fixed (10, D, H, W) uint8 stack
+    + (10,) validity flags (STRUCTURE_NAMES order) — the static-shape form the
+    on-device scorer consumes (absent/empty structures get valid=0)."""
+    stack = np.zeros((len(STRUCTURE_NAMES), *shape), np.uint8)
+    valid = np.zeros((len(STRUCTURE_NAMES),), np.float32)
+    for i, name in enumerate(STRUCTURE_NAMES):
+        s = structures.get(name)
+        if s is not None and np.any(s):
+            stack[i] = (s > 0)
+            valid[i] = 1.0
+    return stack, valid
+
+
+@functools.lru_cache(maxsize=8)
+def make_patient_score_fn(spacing: "tuple[float, float, float]",
+                          *, with_ivs: bool = True):
+    """One jit program scoring a whole patient ON DEVICE: dose score + the
+    10-structure DVH difference (+ the 101-level IVS sweep). Only scalars
+    leave the chip — on remote/tunnel backends this avoids the 8 MB D2H of
+    the prediction plus ~20 host-side percentile sorts per patient
+    (evaluate_openKBP.py:149-222 semantics; parity with the numpy path is
+    tested)."""
+
+    @jax.jit
+    def score(pred, gt, mask, struct_stack, valid):
+        ds = dose_score_jax(pred, gt, mask)
+        total = jnp.float32(0.0)
+        count = jnp.float32(0.0)
+        for i, name in enumerate(STRUCTURE_NAMES):
+            mode = "target" if "PTV" in name else "OAR"
+            pm = dvh_metrics_jax(pred, struct_stack[i], mode=mode, spacing=spacing)
+            gm = dvh_metrics_jax(gt, struct_stack[i], mode=mode, spacing=spacing)
+            for k in gm:
+                total = total + valid[i] * jnp.abs(gm[k] - pm[k])
+                count = count + valid[i]
+        dvh = jnp.where(count > 0, total / jnp.maximum(count, 1.0), jnp.nan)
+        out = {"dose_dif": ds, "dvh_dif": dvh}
+        if with_ivs:
+            out["ivs"] = ivs_sweep_jax(pred, gt)
+        return out
+
+    return score
+
+
+def patient_scores_device(pred, patient, *, with_ivs: bool = True) -> Dict[str, object]:
+    """Device-resident OpenKBP scoring for one Patient record. ``pred`` is the
+    post-processed ×70 Gy prediction (jax or numpy, (D,H,W))."""
+    stack, valid = stack_structures(patient.structures, patient.real_dose.shape)
+    fn = make_patient_score_fn(tuple(float(s) for s in patient.spacing),
+                               with_ivs=with_ivs)
+    out = fn(jnp.asarray(pred), jnp.asarray(patient.real_dose),
+             jnp.asarray(patient.dose_mask), jnp.asarray(stack),
+             jnp.asarray(valid))
+    res = {"dose_dif": float(out["dose_dif"]), "dvh_dif": float(out["dvh_dif"])}
+    if with_ivs:
+        res["ivs"] = np.asarray(out["ivs"])
+    return res

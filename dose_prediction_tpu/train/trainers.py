@@ -216,12 +216,13 @@ class PyferTrainer:
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
-    def test(self, test_ds: OpenKBPDataset) -> Dict[str, Any]:
+    def test(self, test_ds: OpenKBPDataset, *, device_metrics: bool = False) -> Dict[str, Any]:
         """OpenKBP scoring sweep (train_light_pyfer.py:199-287): per-patient
-        dose score, DVH score, IVS curve."""
+        dose score, DVH score, IVS curve. ``device_metrics`` scores on-device
+        (no prediction D2H; several× faster sweeps on remote backends)."""
         results = evaluate_dose_model(
             lambda batch: self.eval_step(self.state, batch)["prediction"],
-            test_ds)
+            test_ds, device_metrics=device_metrics)
         self.logger.log({"mean_dose_metric": results["mean_dose_score"],
                          "std_dose_metric": results["std_dose_score"],
                          "mean_dvh_metric": results["mean_dvh_score"]},
@@ -230,24 +231,38 @@ class PyferTrainer:
 
 
 def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
-                        ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+                        ds: OpenKBPDataset, *, with_ivs: bool = True,
+                        device_metrics: bool = False) -> Dict[str, Any]:
     """Shared OpenKBP test-path evaluation (dose + DVH + IVS accumulation,
     evaluate_openKBP.py:149-222). ``predict_fn`` returns the post-processed
-    ×70 Gy prediction for a {'input','gt'} batch."""
+    ×70 Gy prediction for a {'input','gt'} batch.
+
+    ``device_metrics=True`` scores each patient in ONE jit program on device
+    (sort-based masked percentiles): only scalars cross back to the host —
+    no prediction D2H, no per-structure numpy sorts (remote-backend eval
+    sweeps get several× faster; numpy-parity tested). Per-structure detail
+    values are reported by the host path only."""
     dose_scores, dvh_scores = [], []
     ivs_curves = []
     per_patient: Dict[str, Dict] = {}
     for p in ds.patients:
         batch = {"input": jnp.asarray(p.model_input[None]),
                  "gt": jnp.asarray(p.gt[None])}
-        pred = np.asarray(predict_fn(batch))[0, ..., 0]
-        ds_score = M.dose_score(pred, p.real_dose, p.dose_mask)
-        dvh = M.dvh_score_for_patient(pred, p.real_dose, p.structures, p.spacing)
+        if device_metrics:
+            pred_dev = predict_fn(batch)[0, ..., 0]
+            out = M.patient_scores_device(pred_dev, p, with_ivs=with_ivs)
+            ds_score, dvh = out["dose_dif"], {"dvh_dif": out["dvh_dif"], "detail": {}}
+            if with_ivs:
+                ivs_curves.append(out["ivs"])
+        else:
+            pred = np.asarray(predict_fn(batch))[0, ..., 0]
+            ds_score = M.dose_score(pred, p.real_dose, p.dose_mask)
+            dvh = M.dvh_score_for_patient(pred, p.real_dose, p.structures, p.spacing)
+            if with_ivs:
+                ivs_curves.append(M.ivs_sweep(pred, p.real_dose))
         dose_scores.append(ds_score)
         if np.isfinite(dvh["dvh_dif"]):
             dvh_scores.append(dvh["dvh_dif"])
-        if with_ivs:
-            ivs_curves.append(M.ivs_sweep(pred, p.real_dose))
         per_patient[p.patient_id] = {"dose_dif": ds_score, "dvh_dif": dvh["dvh_dif"],
                                      **dvh["detail"]}
     return {

@@ -183,3 +183,40 @@ def test_dvh_score_for_patient(rng):
     assert np.isfinite(res["dvh_dif"])
     assert any(k.startswith("prePTV70") for k in res["detail"])
     assert not any("Larynx" in k for k in res["detail"])
+
+
+def test_patient_scores_device_matches_host(rng):
+    """The one-jit on-device patient scorer == the host numpy path
+    (dose score, DVH diff over valid structures, IVS curve)."""
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.evaluation import metrics as M
+
+    shape = (16, 16, 16)
+    pred = np.abs(rng.standard_normal(shape)).astype(np.float32) * 30
+    gt = np.abs(rng.standard_normal(shape)).astype(np.float32) * 30
+    mask = (rng.random(shape) > 0.3).astype(np.float32)
+    structures = {}
+    for i, name in enumerate(M.STRUCTURE_NAMES):
+        if i == 2:
+            continue  # one missing structure exercises the validity flags
+        s = np.zeros(shape, np.uint8)
+        s[rng.random(shape) > 0.7] = 1
+        structures[name] = s
+
+    class P:
+        pass
+
+    p = P()
+    p.structures = structures
+    p.real_dose = gt
+    p.dose_mask = mask
+    p.spacing = (3.906, 3.906, 2.5)
+
+    got = M.patient_scores_device(jnp.asarray(pred), p, with_ivs=True)
+    want_ds = M.dose_score(pred, gt, mask)
+    want_dvh = M.dvh_score_for_patient(pred, gt, structures, p.spacing)
+    want_ivs = M.ivs_sweep(pred, gt)
+    assert got["dose_dif"] == pytest.approx(want_ds, rel=1e-4)
+    assert got["dvh_dif"] == pytest.approx(want_dvh["dvh_dif"], rel=1e-3)
+    np.testing.assert_allclose(got["ivs"], want_ivs, rtol=1e-4, atol=1e-5)

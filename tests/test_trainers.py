@@ -202,3 +202,18 @@ def test_evaluate_dose_model_perfect_prediction(synthetic_ds):
     res = evaluate_dose_model(perfect, synthetic_ds, with_ivs=False)
     assert res["mean_dose_score"] == pytest.approx(0.0, abs=1e-4)
     assert res["mean_dvh_score"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_evaluate_dose_model_device_metrics_matches_host(synthetic_ds):
+    """evaluate_dose_model(device_metrics=True) == the host scoring path."""
+    def perfect_plus_noise(batch):
+        gt = batch["gt"]
+        base = 70.0 * gt[..., 0:1] * (gt[..., 1:2] >= 1)
+        return (base + 0.5 * gt[..., 1:2]).astype(jnp.float32)
+
+    host = evaluate_dose_model(perfect_plus_noise, synthetic_ds, with_ivs=True)
+    dev = evaluate_dose_model(perfect_plus_noise, synthetic_ds, with_ivs=True,
+                              device_metrics=True)
+    assert dev["mean_dose_score"] == pytest.approx(host["mean_dose_score"], rel=1e-4)
+    assert dev["mean_dvh_score"] == pytest.approx(host["mean_dvh_score"], rel=1e-3)
+    np.testing.assert_allclose(dev["ivs"], host["ivs"], rtol=1e-4, atol=1e-5)
