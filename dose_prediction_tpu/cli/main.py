@@ -189,7 +189,8 @@ def main(argv=None) -> int:
         from dose_prediction_tpu.core.checkpoint import restore_checkpoint
         ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
         cfg = make_cfg()
-        trainer = PyferTrainer(cfg)
+        trainer = PyferTrainer(cfg, model=pyfer_model(),
+                               example_shape=(1, *ds.patients[0].ct.shape, 9))
         restored = restore_checkpoint(args.ckpt, {"state": trainer.state, "epoch": 0})
         trainer.state = restored["state"]
         results = trainer.test(ds)
@@ -279,7 +280,8 @@ def main(argv=None) -> int:
         def make_trainer(fold, ckpt_dir):
             cfg = make_cfg()
             cfg = type(cfg)(**{**cfg.__dict__, "ckpt_dir": ckpt_dir})
-            return PyferTrainer(cfg)
+            return PyferTrainer(cfg, model=pyfer_model(),
+                                example_shape=(1, *ds.patients[0].ct.shape, 9))
 
         results = run_kfold(ds, make_trainer, n_folds=args.folds,
                             start_fold=args.start_fold, base_dir=args.ckpt_dir)

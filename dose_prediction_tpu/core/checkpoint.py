@@ -47,7 +47,11 @@ def restore_checkpoint(path: str | Path, target: Optional[Any] = None) -> Any:
 
 class CheckpointManager:
     """latest/best-k rotation (ModelCheckpoint(save_last, monitor) parity,
-    train_light_pyfer.py:307-312)."""
+    train_light_pyfer.py:307-312).
+
+    Layout: ``<dir>/monitored/<step>/`` for the metric-ranked saves and
+    ``<dir>/last/`` for the every-epoch crash-resume slot (atomic overwrite).
+    """
 
     def __init__(self, directory: str | Path, *, max_to_keep: int = 3,
                  monitor: str = "dose_score", mode: str = "max"):
