@@ -38,6 +38,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="'small' = reduced-width dev model for smoke runs/CI")
     p.add_argument("--feed-dtype", choices=["float32", "bfloat16"], default="float32",
                    help="bfloat16 = native fused augmentation + half H2D payload")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="average k micro-batch grads per update (effective "
+                        "batch k*batch-size at micro-batch memory)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -130,6 +133,7 @@ def main(argv=None) -> int:
             freeze_net_a=not getattr(args, "no_freeze", False),
             mesh_shape=parse_mesh(getattr(args, "mesh", None)),
             feed_dtype=getattr(args, "feed_dtype", "float32"),
+            grad_accum=getattr(args, "grad_accum", 1),
         )
 
     def pyfer_model(act="relu", multiS_conv=True):

@@ -72,6 +72,7 @@ def make_optimizer(
     freeze_labels: Optional[Any] = None,
     grad_clip_norm: Optional[float] = None,
     kind: str = "adamw",
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """Adam with decoupled weight decay applied torch-style.
 
@@ -80,6 +81,11 @@ def make_optimizer(
     optimizer (train/adam8bit.py — the true bnb analogue, ~3.5× less
     optimizer-state HBM). With ``freeze_labels`` the frozen subtree gets zero
     updates (optax.set_to_zero), exactly mirroring requires_grad=False.
+
+    ``grad_accum=k`` wraps the transform in optax.MultiSteps: gradients are
+    averaged over k micro-batches before one optimizer update — effective
+    batch k× at micro-batch memory (the 16 GB HBM caps the flagship at
+    batch 2; accumulation is the path to larger effective batches).
     """
     chain = []
     if grad_clip_norm is not None:
@@ -98,6 +104,8 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, freeze_labels
         )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 

@@ -67,6 +67,10 @@ class TrainConfig:
     # (one C++ gather pass + bf16 cast: 5× host-side, half the H2D payload —
     # docs/PERFORMANCE.md). Pair with a bf16-dtype model for best effect.
     feed_dtype: str = "float32"      # 'float32' | 'bfloat16'
+    # gradient accumulation: average k micro-batch gradients per optimizer
+    # update (optax.MultiSteps) — effective batch k·batch_size at micro-batch
+    # memory (HBM caps the 128³ flagship at device batch 2)
+    grad_accum: int = 1
 
 
 def _init_state_with_mesh(variables, tx, mesh_shape, *, tp_rules=None):
@@ -136,7 +140,8 @@ class PyferTrainer:
         freeze_labels = S.cascade_freeze_labels(params) if cfg.freeze_net_a else None
         self.tx = S.make_optimizer(
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
-            freeze_labels=freeze_labels, kind=cfg.optimizer)
+            freeze_labels=freeze_labels, kind=cfg.optimizer,
+            grad_accum=cfg.grad_accum)
         self.state, self.mesh, self.batch_sharding, self.val_sharding = \
             _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
         self.train_step = STEP.make_pyfer_train_step(

@@ -42,3 +42,38 @@ def test_update_moving_loss_ema():
     assert float(m) == 2.0
     m = S.update_moving_loss(m, jnp.array(1.0), eps=0.01)
     assert float(m) == pytest.approx(2.0 * 0.99 + 0.01, rel=1e-6)
+
+
+def test_grad_accum_matches_large_batch():
+    """make_optimizer(grad_accum=2): two micro-batch steps == one batch-2
+    step (losses are batch means, so averaged grads coincide)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dose_prediction_tpu.train import state as S
+
+    w0 = {"w": jnp.asarray(np.random.default_rng(0).normal(size=(6, 3)), jnp.float32)}
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 6)), jnp.float32)
+    y = jnp.asarray(np.random.default_rng(2).normal(size=(4, 3)), jnp.float32)
+
+    def loss(params, xb, yb):
+        return jnp.mean((xb @ params["w"] - yb) ** 2)
+
+    # one batch-4 step
+    tx_big = S.make_optimizer(learning_rate=1e-2)
+    st = tx_big.init(w0)
+    g = jax.grad(loss)(w0, x, y)
+    up, st = tx_big.update(g, st, w0)
+    ref = optax.apply_updates(w0, up)
+
+    # two micro-batch-2 steps with grad_accum=2
+    tx_acc = S.make_optimizer(learning_rate=1e-2, grad_accum=2)
+    st2 = tx_acc.init(w0)
+    params = w0
+    for lo in (0, 2):
+        g = jax.grad(loss)(params, x[lo:lo + 2], y[lo:lo + 2])
+        up, st2 = tx_acc.update(g, st2, params)
+        params = optax.apply_updates(params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(ref["w"]),
+                               rtol=1e-5, atol=1e-6)

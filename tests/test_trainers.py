@@ -217,3 +217,29 @@ def test_evaluate_dose_model_device_metrics_matches_host(synthetic_ds):
     assert dev["mean_dose_score"] == pytest.approx(host["mean_dose_score"], rel=1e-4)
     assert dev["mean_dvh_score"] == pytest.approx(host["mean_dvh_score"], rel=1e-3)
     np.testing.assert_allclose(dev["ivs"], host["ivs"], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_unetr_seg_trainer(tmp_path, synthetic_ds):
+    """mode_model=0: plain MONAI UNETR on the seg harness (1 step + val)."""
+    from dose_prediction_tpu.models import UNETR
+    from dose_prediction_tpu.train.trainers import UNETRSegTrainer
+
+    model = UNETR(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                  num_heads=2, num_layers=4)
+    cfg = TrainConfig(max_epochs=1, check_val=1, max_steps=1, batch_size=2,
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = UNETRSegTrainer(cfg, model=model, crop=(16, 16, 16))
+    tr.fit(synthetic_ds, val_ds=None, num_samples=1)
+    assert np.isfinite(float(tr.state.moving_loss))
+    dice, hd95, val_loss = tr.validate(synthetic_ds, sw_batch_size=2)
+    assert np.isfinite(val_loss)
+
+
+def test_pyfer_trainer_grad_accum(tmp_path, synthetic_ds):
+    """grad_accum trains (effective batch 2 at device batch 1)."""
+    cfg = TrainConfig(max_epochs=1, check_val=50, max_steps=2, grad_accum=2,
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = PyferTrainer(cfg, model=SMALL_PYFER, example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, val_ds=None, resume=False)
+    assert np.isfinite(float(tr.state.moving_loss))
