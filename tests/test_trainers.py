@@ -236,6 +236,7 @@ def test_unetr_seg_trainer(tmp_path, synthetic_ds):
     assert np.isfinite(val_loss)
 
 
+@pytest.mark.slow
 def test_pyfer_trainer_grad_accum(tmp_path, synthetic_ds):
     """grad_accum trains (effective batch 2 at device batch 1)."""
     cfg = TrainConfig(max_epochs=1, check_val=50, max_steps=2, grad_accum=2,
