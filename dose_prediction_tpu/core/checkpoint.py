@@ -82,9 +82,25 @@ class CheckpointManager:
             return None
         return restore_checkpoint(path, target)
 
+    def _legacy_steps(self) -> list:
+        """Numeric step dirs written by the pre-round-2 layout (<dir>/<step>/
+        directly, before monitored/ was introduced). Without this fallback a
+        resume against an old run silently restarts from scratch."""
+        out = []
+        for child in self._dir.iterdir() if self._dir.exists() else []:
+            if child.is_dir() and child.name.isdigit():
+                out.append(int(child.name))
+        return sorted(out)
+
     def restore_latest(self, target: Optional[Any] = None) -> Tuple[Optional[int], Any]:
         step = self._mgr.latest_step()
         if step is None:
+            legacy = self._legacy_steps()
+            if legacy:
+                step = legacy[-1]
+                print(f"[checkpoint] restoring legacy-layout step {step} from "
+                      f"{self._dir} (pre-monitored/ checkpoint layout)")
+                return step, restore_checkpoint(self._dir / str(step), target)
             return None, None
         args = ocp.args.PyTreeRestore(item=target) if target is not None else None
         return step, self._mgr.restore(step, args=args)

@@ -162,31 +162,26 @@ def read_batch_f32(paths: Sequence[str | Path], *, n_threads: int = 4
     return out
 
 
-def draw_augment_decisions(rng: np.random.Generator,
-                           *, shift_prob: float = 0.50, offsets: float = 0.10,
-                           flip_prob: float = 0.10, rot_prob: float = 0.10,
-                           max_k: int = 3) -> Tuple[float, int, int]:
-    """Draw (shift, flip_mask, rot_k) in EXACTLY the rng order the numpy
-    chain uses (transforms.augment_dose_sample: shift → 3 flips → rot90), so
-    the native and numpy paths consume identical random streams."""
-    shift = float(rng.uniform(-offsets, offsets)) if rng.random() < shift_prob else 0.0
-    flip_mask = 0
-    for axis in range(3):
-        if rng.random() < flip_prob:
-            flip_mask |= 1 << axis
-    rot_k = int(rng.integers(1, max_k + 1)) if rng.random() < rot_prob else 0
-    return shift, flip_mask, rot_k
+# canonical decision-drawing lives with the numpy transforms; re-exported here
+# because the native path historically imported it from this module
+from dose_prediction_tpu.data.transforms import draw_augment_decisions  # noqa: E402
 
 
 def augment_dose_bf16(inp: np.ndarray, gt: np.ndarray,
-                      rng: np.random.Generator, *, n_threads: int = 4
+                      rng: Optional[np.random.Generator] = None, *,
+                      decisions: Optional[Tuple[float, int, int]] = None,
+                      n_threads: int = 4
                       ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Fused native augmentation + bf16 cast for one (D,H,W,Ci)/(D,H,W,Cg)
     sample: one gather pass instead of the numpy chain's several full-volume
     copies, and the output ships as bf16 (halves the H2D payload). Returns
     None when the native library is unavailable (callers fall back to the
     numpy chain). Outputs are uint16-viewed bf16 (reinterpret with
-    jnp .view/bitcast or ml_dtypes.bfloat16)."""
+    jnp .view/bitcast or ml_dtypes.bfloat16).
+
+    ``decisions`` takes pre-drawn (shift, flip_mask, rot_k); pass it when the
+    caller wants to share one set of draws with a fallback path (the random
+    stream must not diverge when the native call declines — ADVICE r2)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "dose_io_augment_dose_bf16"):
         return None
@@ -194,7 +189,9 @@ def augment_dose_bf16(inp: np.ndarray, gt: np.ndarray,
         return None
     inp = np.ascontiguousarray(inp)
     gt = np.ascontiguousarray(gt)
-    shift, flip_mask, rot_k = draw_augment_decisions(rng)
+    if decisions is None:
+        decisions = draw_augment_decisions(rng)
+    shift, flip_mask, rot_k = decisions
     d, h, w, ci = inp.shape
     cg = gt.shape[-1]
     od, oh = (h, d) if rot_k % 2 else (d, h)

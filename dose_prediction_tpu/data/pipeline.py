@@ -66,12 +66,19 @@ def dose_batches(
             if augment and bf16 is not None and inp.shape[0] == inp.shape[1]:
                 from dose_prediction_tpu.data import native as N
 
-                out = N.augment_dose_bf16(inp, gt, rng)
+                # draw ONCE and share with the fallback: if the native call
+                # declines after the draws, the numpy path must consume the
+                # same decisions, not redraw (random-stream parity)
+                decisions = N.draw_augment_decisions(rng)
+                out = N.augment_dose_bf16(inp, gt, decisions=decisions)
                 if out is not None:
                     inputs.append(out[0].view(bf16))
                     gts.append(out[1].view(bf16))
                     continue
-            if augment:
+                from dose_prediction_tpu.data.transforms import apply_dose_augment
+
+                inp, gt = apply_dose_augment(inp, gt, *decisions)
+            elif augment:
                 inp, gt = augment_dose_sample(inp, gt, rng)
             if bf16 is not None:
                 inp = inp.astype(bf16)

@@ -150,16 +150,47 @@ def rand_translate(arrays: Arrays, roi_mask: np.ndarray, rng: np.random.Generato
     return out
 
 
+def draw_augment_decisions(rng: np.random.Generator,
+                           *, shift_prob: float = 0.50, offsets: float = 0.10,
+                           flip_prob: float = 0.10, rot_prob: float = 0.10,
+                           max_k: int = 3) -> Tuple[float, int, int]:
+    """Draw (shift, flip_mask, rot_k) in EXACTLY the rng order the full chain
+    consumes them (shift → 3 flips → rot90), so every consumer — the numpy
+    chain, the native C++ gather, and the on-device packed-feed augment — sees
+    one identical random stream for a given rng state."""
+    shift = float(rng.uniform(-offsets, offsets)) if rng.random() < shift_prob else 0.0
+    flip_mask = 0
+    for axis in range(3):
+        if rng.random() < flip_prob:
+            flip_mask |= 1 << axis
+    rot_k = int(rng.integers(1, max_k + 1)) if rng.random() < rot_prob else 0
+    return shift, flip_mask, rot_k
+
+
+def apply_dose_augment(inp: np.ndarray, gt: np.ndarray, shift: float,
+                       flip_mask: int, rot_k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic numpy application of pre-drawn dose-augment decisions
+    (the fallback partner of the native fused path: both consume ONE set of
+    draws, so the random stream never diverges between paths)."""
+    inp = inp.copy()
+    if shift:
+        inp[..., -1] += np.float32(shift)
+    for axis in range(3):
+        if flip_mask & (1 << axis):
+            inp = np.flip(inp, axis=axis)
+            gt = np.flip(gt, axis=axis)
+    if rot_k:
+        inp = np.rot90(inp, k=rot_k, axes=(0, 1))
+        gt = np.rot90(gt, k=rot_k, axes=(0, 1))
+    return np.ascontiguousarray(inp), np.ascontiguousarray(gt)
+
+
 def augment_dose_sample(inp: np.ndarray, gt: np.ndarray,
                         rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
     """The train-time chain for the dose task (crop_flag=False config):
     intensity shift on the CT channel (last), 3 flips, rot90."""
-    inp = inp.copy()
-    inp[..., -1] = rand_shift_intensity(inp[..., -1], rng)
-    d = {"inp": inp, "gt": gt}
-    d = rand_flip(d, rng)
-    d = rand_rotate90(d, rng)
-    return np.ascontiguousarray(d["inp"]), np.ascontiguousarray(d["gt"])
+    shift, flip_mask, rot_k = draw_augment_decisions(rng)
+    return apply_dose_augment(inp, gt, shift, flip_mask, rot_k)
 
 
 def augment_seg_sample(ct: np.ndarray, labels: np.ndarray, rng: np.random.Generator,

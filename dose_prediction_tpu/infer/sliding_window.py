@@ -23,6 +23,7 @@ serialized into the HLO upload.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable, List, Sequence, Tuple
 
 import jax
@@ -228,8 +229,12 @@ def make_sliding_window_sharded_fn(
     return wrapper
 
 
-# one compiled program per (predictor, mesh, config); repeat one-shot calls hit it
-_SHARDED_FN_CACHE: dict = {}
+# one compiled program per (predictor, mesh, config); repeat one-shot calls hit
+# it. LRU-bounded: callers that pass a fresh lambda per call would otherwise
+# accumulate one compiled program per call forever (predictor identity is part
+# of the key). Stable callables are the supported fast path.
+_SHARDED_FN_CACHE: OrderedDict = OrderedDict()
+_SHARDED_FN_CACHE_MAX = 16
 
 
 def sliding_window_inference_sharded(
@@ -256,6 +261,10 @@ def sliding_window_inference_sharded(
         fn = _SHARDED_FN_CACHE.setdefault(key, make_sliding_window_sharded_fn(
             predictor, mesh, axis=axis, roi_size=roi_size, overlap=overlap,
             mode=mode, out_channels=out_channels))
+        while len(_SHARDED_FN_CACHE) > _SHARDED_FN_CACHE_MAX:
+            _SHARDED_FN_CACHE.popitem(last=False)
+    else:
+        _SHARDED_FN_CACHE.move_to_end(key)
     return fn(volume, *predictor_args)
 
 

@@ -185,7 +185,12 @@ def make_plateau_optimizer(
 
 def set_learning_rate(opt_state: Any, lr: float) -> Any:
     """Return a copy of ``opt_state`` with every injected 'learning_rate'
-    hyperparameter replaced by ``lr`` (works through chains/tuples)."""
+    hyperparameter replaced by ``lr``. Descends namedtuples, tuples, AND dict
+    children (optax.multi_transform stores inner states in a dict — a plateau
+    optimizer composed with a freeze mask must still be reachable). Raises if
+    no injected learning_rate was found: silently returning the state
+    unchanged would freeze the lr forever."""
+    replaced = [0]
 
     def walk(node):
         hp = getattr(node, "hyperparams", None)
@@ -193,14 +198,23 @@ def set_learning_rate(opt_state: Any, lr: float) -> Any:
             new_hp = dict(hp)
             old = jnp.asarray(hp["learning_rate"])
             new_hp["learning_rate"] = jnp.asarray(lr, old.dtype)
+            replaced[0] += 1
             return node._replace(hyperparams=new_hp)
         if hasattr(node, "_fields") and hasattr(node, "_replace"):  # namedtuple
             return node._replace(**{f: walk(getattr(node, f)) for f in node._fields})
         if isinstance(node, tuple):
             return tuple(walk(c) for c in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
         return node
 
-    return walk(opt_state)
+    out = walk(opt_state)
+    if not replaced[0]:
+        raise ValueError(
+            "set_learning_rate: no injected 'learning_rate' hyperparameter in "
+            "this optimizer state (build it with make_plateau_optimizer / "
+            "optax.inject_hyperparams)")
+    return out
 
 
 def get_learning_rate(opt_state: Any) -> Optional[float]:
@@ -208,8 +222,10 @@ def get_learning_rate(opt_state: Any) -> Optional[float]:
     found: list = []
 
     def walk(node):
+        if found:
+            return
         hp = getattr(node, "hyperparams", None)
-        if isinstance(hp, dict) and "learning_rate" in hp and not found:
+        if isinstance(hp, dict) and "learning_rate" in hp:
             found.append(float(hp["learning_rate"]))
             return
         if hasattr(node, "_fields"):
@@ -217,6 +233,9 @@ def get_learning_rate(opt_state: Any) -> Optional[float]:
                 walk(getattr(node, f))
         elif isinstance(node, tuple):
             for c in node:
+                walk(c)
+        elif isinstance(node, dict):
+            for c in node.values():
                 walk(c)
 
     walk(opt_state)

@@ -169,7 +169,8 @@ class Trial:
     config: Dict[str, Any]
     rung: int = 0
     last_value: float = math.nan
-    stopped: bool = False
+    stopped: bool = False      # rung-based ASHA halt (a true early stop)
+    completed: bool = False    # ran to the full max_t budget
     history: List[float] = dataclasses.field(default_factory=list)
 
 
@@ -199,7 +200,9 @@ class ASHAScheduler:
         trial.last_value = value
         trial.history.append(value)
         if epoch >= self.max_t:
-            trial.stopped = True
+            # normal completion: NOT an early stop (num_early_stopped must
+            # count rung halts only — ADVICE r2)
+            trial.completed = True
             return True
         if epoch in self.milestones():
             results = self._rung_results.setdefault(epoch, [])

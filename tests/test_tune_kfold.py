@@ -143,20 +143,28 @@ def test_tpe_suggest_respects_bounds_and_types():
 
 def test_concurrent_trials_run_and_aggregate():
     """max_concurrent>1: trials execute on parallel threads (one per device)
-    and the aggregate result is identical in structure."""
+    and the aggregate result is identical in structure. The first two trials
+    rendezvous at a barrier, PROVING ≥2 are in flight simultaneously — a bare
+    thread-identity check is timing-dependent on a 1-core host (instant trials
+    can all be served by one pool worker before the others spin up)."""
+    import itertools
     import threading as th
 
-    seen_threads = set()
+    barrier = th.Barrier(2)
+    arrivals = itertools.count()
+    rendezvoused = []
 
     def train_trial(config, report):
-        seen_threads.add(th.get_ident())
+        if next(arrivals) < 2:
+            barrier.wait(timeout=30)   # BrokenBarrierError (test fail) if serial
+            rendezvoused.append(th.get_ident())
         report(1, config["lr"])
         return config["lr"]
 
     res = run_search(train_trial, space={"lr": LogUniform(1e-4, 1e-1)},
                      num_samples=8, seed=0, mode="min", max_concurrent=4)
     assert len(res["trials"]) == 8
-    assert len(seen_threads) > 1
+    assert len(set(rendezvoused)) == 2   # two distinct threads met at the barrier
     assert res["best_value"] == min(t["last_value"] for t in res["trials"])
 
 
