@@ -36,11 +36,17 @@ def _add_common(p: argparse.ArgumentParser):
                         "(batch-size must divide by the data axis)")
     p.add_argument("--model-size", choices=["full", "small"], default="full",
                    help="'small' = reduced-width dev model for smoke runs/CI")
-    p.add_argument("--feed-dtype", choices=["float32", "bfloat16"], default="float32",
-                   help="bfloat16 = native fused augmentation + half H2D payload")
+    p.add_argument("--feed-dtype", choices=["float32", "bfloat16", "packed"],
+                   default="float32",
+                   help="bfloat16 = native fused augmentation + half H2D "
+                        "payload; packed = bit-packed masks + on-device "
+                        "augmentation, 6x less H2D (data/packed.py)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="average k micro-batch grads per update (effective "
                         "batch k*batch-size at micro-batch memory)")
+    p.add_argument("--remat-blocks", action="store_true",
+                   help="per-block remat in the flagship decoder: lower "
+                        "activation memory, enables device batch >=3 at 128^3")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -64,6 +70,22 @@ def build_parser() -> argparse.ArgumentParser:
                     default="seg", help="TranSeg conv-block flavor: 'seg' "
                     "(Models/, IN), 'old' (OldModels TRANSEG, BatchNorm), "
                     "'ablation' (base_blocks_ablation)")
+    tr.add_argument("--private-data", action="store_true",
+                    help="seg task: treat --data as the private 13-OAR head "
+                         "dataset (fixed 16-patient val split, "
+                         "train_light_transeg.py:64-82)")
+    # C3D optimizer/scheduler selection (train_light_c3d.py:179-243)
+    tr.add_argument("--lr-encoder", type=float, default=None,
+                    help="c3d: separate encoder LR (network_trainer.py:110-118)")
+    tr.add_argument("--lr-decoder", type=float, default=None,
+                    help="c3d: separate decoder LR")
+    tr.add_argument("--scheduler", choices=["multistep", "cosine", "plateau"],
+                    default=None, help="c3d LR schedule (horizons in optimizer steps)")
+    tr.add_argument("--milestones", type=int, nargs="*", default=[],
+                    help="multistep decay boundaries (steps)")
+    tr.add_argument("--gamma", type=float, default=0.1)
+    tr.add_argument("--t-max", type=int, default=None, help="cosine horizon (steps)")
+    tr.add_argument("--eta-min", type=float, default=0.0)
 
     ev = sub.add_parser("eval", help="OpenKBP scoring sweep")
     _add_common(ev)
@@ -134,37 +156,71 @@ def main(argv=None) -> int:
             mesh_shape=parse_mesh(getattr(args, "mesh", None)),
             feed_dtype=getattr(args, "feed_dtype", "float32"),
             grad_accum=getattr(args, "grad_accum", 1),
+            remat_blocks=getattr(args, "remat_blocks", False),
+            lr_encoder=getattr(args, "lr_encoder", None),
+            lr_decoder=getattr(args, "lr_decoder", None),
+            scheduler=getattr(args, "scheduler", None),
+            milestones=tuple(getattr(args, "milestones", []) or []),
+            gamma=getattr(args, "gamma", 0.1),
+            t_max=getattr(args, "t_max", None),
+            eta_min=getattr(args, "eta_min", 0.0),
         )
 
     def pyfer_model(act="relu", multiS_conv=True):
         from dose_prediction_tpu.models import DosePyfer
 
+        remat = getattr(args, "remat_blocks", False)
         if getattr(args, "model_size", "full") == "small":
             return DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
                              feature_size=2, hidden_size=24, mlp_dim=48,
                              num_layers=4, num_heads=2,
-                             act=act, multiS_conv=multiS_conv)
-        return DosePyfer(act=act, multiS_conv=multiS_conv)
+                             act=act, multiS_conv=multiS_conv, remat_blocks=remat)
+        return DosePyfer(act=act, multiS_conv=multiS_conv, remat_blocks=remat)
 
     if args.cmd == "train":
+        cfg = make_cfg()
+        if args.model == "transeg" and getattr(args, "private_data", False):
+            from dose_prediction_tpu.data.private_seg import PrivateSegDataset
+            from dose_prediction_tpu.models import TranSeg
+            from dose_prediction_tpu.train.trainers import TranSegTrainer
+
+            train_ds = PrivateSegDataset(args.data, split="train").as_seg()
+            val_ds = PrivateSegDataset(args.val_data or args.data, split="val").as_seg()
+            trainer = TranSegTrainer(
+                cfg, model=TranSeg(
+                    out_ch=14, block_family=getattr(args, "block_family", "seg")),
+                num_classes=14)
+            trainer.fit(train_ds, val_ds)
+            return 0
         train_ds = OpenKBPDataset(args.data, size=args.size)
         val_ds = OpenKBPDataset(args.val_data, keep_structures=True) if args.val_data else None
-        cfg = make_cfg()
         # the ViT pos-embed grid is shape-specific: derive the example shape
         # from the actual data rather than assuming 128³
         shape = train_ds.patients[0].ct.shape
         if args.model == "pyfer":
             pre = None
-            if args.pretrained_c3d:
+            if args.pretrained_c3d and args.pretrained_c3d.endswith(
+                    (".pkl", ".pt", ".pth", ".ckpt")):
+                # reference-format torch pickle (create_pretrained_unet source,
+                # c3d.py:172-204) → converted flax tree; surgery happens in
+                # PyferTrainer via load_pretrained_net_a
+                from dose_prediction_tpu.core.torch_import import (
+                    c3d_key_map,
+                    load_torch_checkpoint,
+                    state_dict_to_tree,
+                )
+                pre = state_dict_to_tree(
+                    load_torch_checkpoint(args.pretrained_c3d), c3d_key_map)
+            elif args.pretrained_c3d:
                 from dose_prediction_tpu.core.checkpoint import restore_checkpoint
                 pre = restore_checkpoint(args.pretrained_c3d)
                 pre = pre.get("state", pre).get("params", pre)
             trainer = PyferTrainer(cfg, model=pyfer_model(), pretrained_c3d_params=pre,
                                    example_shape=(1, *shape, 9))
         elif args.model == "c3d":
-            trainer = CascadeC3DTrainer(cfg)
+            trainer = CascadeC3DTrainer(cfg, example_shape=(1, *shape, 9))
         elif args.model == "hdunet":
-            trainer = HDUNetTrainer(cfg)
+            trainer = HDUNetTrainer(cfg, example_shape=(1, *shape, 9))
         elif args.model == "transeg":
             if getattr(args, "mode_model", 1) == 0:
                 from dose_prediction_tpu.models import UNETR
@@ -176,17 +232,15 @@ def main(argv=None) -> int:
                     block_family=getattr(args, "block_family", "seg")))
         elif args.model == "vitgan":
             from dose_prediction_tpu.train.gan import VitGANTrainer
-            trainer = VitGANTrainer(cfg)
+            trainer = VitGANTrainer(cfg, example_shape=(1, *shape, 9))
         elif args.model == "exp":
             from dose_prediction_tpu.models.experiments import VitGenerator
             from dose_prediction_tpu.train.trainers import ExpModelTrainer
-            trainer = ExpModelTrainer(cfg, VitGenerator(mode_multi_dec=True, act="mish"))
+            trainer = ExpModelTrainer(cfg, VitGenerator(mode_multi_dec=True, act="mish"),
+                                      example_shape=(1, *shape, 9))
         else:
-            trainer = DoseGANTrainer(cfg)
-        if args.model in ("dosegan", "vitgan", "exp"):
-            trainer.fit(train_ds)
-        else:
-            trainer.fit(train_ds, val_ds)
+            trainer = DoseGANTrainer(cfg, example_shape=(1, *shape, 9))
+        trainer.fit(train_ds, val_ds)
         return 0
 
     if args.cmd == "eval":

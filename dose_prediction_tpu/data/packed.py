@@ -1,0 +1,179 @@
+"""Packed training feed: bit-packed masks + bf16 scalars shipped host→device,
+unpacked AND augmented on device inside the jit step.
+
+Why: real training on a remote TPU backend is host-feed-bound — the 9-channel
+128³ f32 batch is ~44 MB/sample (~37 MB as bf16) over a ~15-30 MB/s tunnel,
+~70× the 233 ms device step (docs/ROUND_NOTES.md). But 8 of the 9 input
+channels are {0,1}-valued masks and the PTV channel is a small integer grid
+(÷70), so the information content is tiny:
+
+    ct         bf16 (D,H,W)   2 B/voxel   (clipped [-1.024,1.5] — bf16 exact
+                                           enough; same dtype the bf16 feed
+                                           already ships)
+    dose       bf16 (D,H,W)   2 B/voxel
+    ptv        uint8 (D,H,W)  1 B/voxel   = round(70·ptv): PTV weights 70/63/56
+                                           and their overlap sums are integers
+                                           ≤ 189 → exact
+    mask_bits  uint8 (D,H,W)  1 B/voxel   bit i = OAR i (7 OARs), bit 7 =
+                                           possible_dose_mask
+
+→ 6 B/voxel vs 36 B f32 (6×) / 18 B bf16 (3×). 128³ sample: 12.6 MB.
+
+Augmentation moves ON DEVICE: the host draws the per-sample decisions
+(transforms.draw_augment_decisions — same rng stream as the numpy chain) and
+ships three scalars per sample; flips/rot90 are pure permutations applied by
+XLA inside the step, and the CT intensity shift is one fused add. The host
+does ZERO per-step array work beyond np.stack of the cached packed volumes.
+
+Parity: unpack(pack(x), decisions) == numpy augment chain at bf16 resolution
+(tested). Packing is checked per patient — a dataset with non-binary masks or
+non-integer 70·ptv declines packing and callers fall back to the f32 feed.
+
+Ref workload being fed: the 9-ch concat of dataloader_OpenKBP_monai.py:196-201.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from dose_prediction_tpu.data.openkbp import OpenKBPDataset, Patient
+from dose_prediction_tpu.data.transforms import draw_augment_decisions
+
+_PACKED_ATTR = "_packed_cache"
+
+
+def pack_patient(p: Patient) -> Optional[Dict[str, np.ndarray]]:
+    """Pack one preprocessed patient into the wire format (cached on the
+    Patient). Returns None when the volumes are not exactly packable."""
+    cached = getattr(p, _PACKED_ATTR, None)
+    if cached is not None:
+        return cached if cached else None
+    import ml_dtypes
+
+    ptv70 = p.ptv * 70.0
+    ptv_u8 = np.rint(ptv70).astype(np.uint8)
+    ok = (
+        np.abs(ptv70 - np.rint(ptv70)).max() < 1e-3 and ptv70.max() <= 255
+        and np.isin(p.oars, (0.0, 1.0)).all()
+        and np.isin(p.dose_mask, (0.0, 1.0)).all()
+    )
+    if not ok:
+        setattr(p, _PACKED_ATTR, {})   # remember the decline
+        return None
+    bits = (p.dose_mask > 0).astype(np.uint8) << 7
+    for i in range(p.oars.shape[-1]):
+        bits |= (p.oars[..., i] > 0).astype(np.uint8) << i
+    packed = {
+        "ct": p.ct.astype(ml_dtypes.bfloat16),
+        "dose": p.dose.astype(ml_dtypes.bfloat16),
+        "ptv": ptv_u8,
+        "mask_bits": np.ascontiguousarray(bits),
+    }
+    setattr(p, _PACKED_ATTR, packed)
+    return packed
+
+
+def packed_dose_batches(
+    dataset: OpenKBPDataset,
+    *,
+    batch_size: int = 1,
+    shuffle: bool = True,
+    augment: bool = True,
+    seed: int = 0,
+    drop_last: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """One epoch of packed batches:
+    {'ct','dose' (B,D,H,W) bf16; 'ptv','mask_bits' (B,D,H,W) u8;
+     'shift' (B,) f32; 'flip' (B,) i32; 'rot_k' (B,) i32}.
+
+    Decisions consume the SAME rng stream as dose_batches' numpy chain, so a
+    packed run and an f32 run with one seed see identical augmentations.
+    Raises ValueError if any patient declines packing — the caller should use
+    the f32 feed for such datasets.
+    """
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        cols = {k: [] for k in ("ct", "dose", "ptv", "mask_bits")}
+        shifts, flips, rots = [], [], []
+        for j in idx:
+            p = dataset[int(j)]
+            packed = pack_patient(p)
+            if packed is None:
+                raise ValueError(
+                    f"patient {p.patient_id} is not packable (non-binary masks "
+                    f"or non-integer 70·PTV); use the float32 feed")
+            for k in cols:
+                cols[k].append(packed[k])
+            if augment:
+                shift, flip_mask, rot_k = draw_augment_decisions(rng)
+            else:
+                shift, flip_mask, rot_k = 0.0, 0, 0
+            shifts.append(shift)
+            flips.append(flip_mask)
+            rots.append(rot_k)
+        batch = {k: np.stack(v) for k, v in cols.items()}
+        batch["shift"] = np.asarray(shifts, np.float32)
+        batch["flip"] = np.asarray(flips, np.int32)
+        batch["rot_k"] = np.asarray(rots, np.int32)
+        yield batch
+
+
+# ---------------------------------------------------------------------------
+# device side (jit-safe)
+# ---------------------------------------------------------------------------
+
+def unpack_dose_batch(batch, dtype=None):
+    """Reconstruct {'input': (B,D,H,W,9), 'gt': (B,D,H,W,2)} from a packed
+    batch and apply the per-sample augmentation ON DEVICE (shift → flips →
+    rot90, the transforms.apply_dose_augment order). Pure jax; call inside
+    the jit step. rot90 requires D == H (guaranteed for the 128³ workload;
+    packed_dose_batches ships rot_k=0 otherwise unusable shapes would fail
+    loudly at trace time)."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    ct = batch["ct"].astype(dtype)
+    dose = batch["dose"].astype(dtype)
+    ptv = batch["ptv"].astype(dtype) * (1.0 / 70.0)
+    bits = batch["mask_bits"]
+    oars = [((bits >> i) & 1).astype(dtype) for i in range(7)]
+    dose_mask = ((bits >> 7) & 1).astype(dtype)
+
+    # CT intensity shift (last input channel only, one fused add)
+    ct = ct + batch["shift"][:, None, None, None].astype(dtype)
+
+    inp = jnp.stack([ptv, *oars, ct], axis=-1)       # (B,D,H,W,9)
+    gt = jnp.stack([dose, dose_mask], axis=-1)       # (B,D,H,W,2)
+
+    def aug_one(vol, flip_mask, rot_k):
+        # flips over the three spatial axes (axes 0..2 of one sample)
+        for axis in range(3):
+            vol = jnp.where(((flip_mask >> axis) & 1) == 1,
+                            jnp.flip(vol, axis=axis), vol)
+        # rot90^k in the (0,1) plane; per-sample k via switch (static k per
+        # branch, so each branch is a pure layout permutation)
+        return jax.lax.switch(
+            rot_k,
+            [lambda v: v,
+             lambda v: jnp.rot90(v, 1, axes=(0, 1)),
+             lambda v: jnp.rot90(v, 2, axes=(0, 1)),
+             lambda v: jnp.rot90(v, 3, axes=(0, 1))],
+            vol)
+
+    aug = jax.vmap(aug_one)
+    return {"input": aug(inp, batch["flip"], batch["rot_k"]),
+            "gt": aug(gt, batch["flip"], batch["rot_k"])}
+
+
+def packed_batch_nbytes(batch: Dict[str, np.ndarray]) -> int:
+    """Host→device payload of one packed batch (for feed diagnostics)."""
+    return int(sum(np.asarray(v).nbytes for v in batch.values()))

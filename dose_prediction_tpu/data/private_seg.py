@@ -100,6 +100,7 @@ class PrivateSegDataset:
             chosen = [d for i, d in enumerate(dirs) if i in val_idx]
         else:
             raise ValueError(f"unknown split {split!r}")
+        self._dirs = chosen
         self.records = [load_private_patient(d) for d in chosen]
 
     def __len__(self):
@@ -107,3 +108,32 @@ class PrivateSegDataset:
 
     def __getitem__(self, i):
         return self.records[i]
+
+    def as_seg(self) -> "_PrivateSegPatients":
+        """Adapt to the seg-trainer surface (ct / oars_label_encoded / spacing)
+        so TranSegTrainer + seg_batches consume the private dataset unchanged
+        — the PrivateDataModule path (train_light_transeg.py:64-82). Use
+        num_classes=14 (13 OARs + background)."""
+        return _PrivateSegPatients(self)
+
+
+class _PrivateSegPatient:
+    def __init__(self, record: Dict[str, np.ndarray], patient_id: str):
+        self.patient_id = patient_id
+        self.ct = record["ct"]
+        self.oars_label_encoded = record["labels"]
+        self.spacing = tuple(float(s) for s in record["spacing"])
+
+
+class _PrivateSegPatients:
+    def __init__(self, ds: PrivateSegDataset):
+        self.patients = [
+            _PrivateSegPatient(rec, Path(d).name)
+            for rec, d in zip(ds.records, ds._dirs)
+        ]
+
+    def __len__(self):
+        return len(self.patients)
+
+    def __getitem__(self, i):
+        return self.patients[i]

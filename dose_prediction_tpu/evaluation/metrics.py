@@ -346,15 +346,22 @@ def make_patient_score_fn(spacing: "tuple[float, float, float]",
     return score
 
 
-def patient_scores_device(pred, patient, *, with_ivs: bool = True) -> Dict[str, object]:
+def patient_scores_device(pred, patient, *, with_ivs: bool = True,
+                          sync: bool = True) -> Dict[str, object]:
     """Device-resident OpenKBP scoring for one Patient record. ``pred`` is the
-    post-processed ×70 Gy prediction (jax or numpy, (D,H,W))."""
+    post-processed ×70 Gy prediction (jax or numpy, (D,H,W)).
+
+    ``sync=False`` returns the raw device scalars without reading them — the
+    caller controls when the host blocks (the eval sweep pipelines patient
+    i+1's programs behind patient i's read)."""
     stack, valid = stack_structures(patient.structures, patient.real_dose.shape)
     fn = make_patient_score_fn(tuple(float(s) for s in patient.spacing),
                                with_ivs=with_ivs)
     out = fn(jnp.asarray(pred), jnp.asarray(patient.real_dose),
              jnp.asarray(patient.dose_mask), jnp.asarray(stack),
              jnp.asarray(valid))
+    if not sync:
+        return out
     res = {"dose_dif": float(out["dose_dif"]), "dvh_dif": float(out["dvh_dif"])}
     if with_ivs:
         res["ivs"] = np.asarray(out["ivs"])

@@ -34,26 +34,21 @@ from dose_prediction_tpu.evaluation.metrics import postprocess_prediction_jax
 from dose_prediction_tpu.infer.sliding_window import sliding_window_inference
 
 
-def make_cascade_fn(
+def make_cascade_stages(
     seg_model,
-    seg_variables,
     dose_model,
-    dose_variables,
     *,
     num_oar_classes: int = 8,
     roi_size: Sequence[int] = (96, 96, 96),
     sw_batch_size: int = 4,
     overlap: float = 0.25,
     dose_scale: float = 70.0,
-    fuse: bool = False,
-) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
-    """Build the linked inference program.
-
-    Returns ``run(ct, ptv, dose_mask) -> dose_gy`` where
-        ct, ptv, dose_mask: ``(1, D, H, W, 1)``;
-        dose_gy: ``(1, D, H, W, 1)`` in Gy, masked and clamped like the
-        reference post-process (:171-173).
-    """
+):
+    """The two cascade stages as pure functions (un-jitted):
+    ``stage1(seg_vars, ct, ptv) -> structures`` (sliding-window seg + one-hot
+    + 9-ch concat) and ``stage2(dose_vars, structures, dose_mask) -> dose_gy``.
+    Exposed separately so the streaming pipeline (infer/pipeline.py) can place
+    them on different devices."""
 
     def seg_predictor(windows, seg_vars):
         logits, _ = seg_model.apply(seg_vars, windows, train=False,
@@ -77,6 +72,34 @@ def make_cascade_fn(
             dose_vars, structures, train=False, mutable=["batch_stats"])
         # mask out-of-region and negative voxels, scale to Gy (:171-173)
         return postprocess_prediction_jax(preds_b[0], dose_mask, scale=dose_scale)
+
+    return stage1, stage2
+
+
+def make_cascade_fn(
+    seg_model,
+    seg_variables,
+    dose_model,
+    dose_variables,
+    *,
+    num_oar_classes: int = 8,
+    roi_size: Sequence[int] = (96, 96, 96),
+    sw_batch_size: int = 4,
+    overlap: float = 0.25,
+    dose_scale: float = 70.0,
+    fuse: bool = False,
+) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
+    """Build the linked inference program.
+
+    Returns ``run(ct, ptv, dose_mask) -> dose_gy`` where
+        ct, ptv, dose_mask: ``(1, D, H, W, 1)``;
+        dose_gy: ``(1, D, H, W, 1)`` in Gy, masked and clamped like the
+        reference post-process (:171-173).
+    """
+    stage1, stage2 = make_cascade_stages(
+        seg_model, dose_model, num_oar_classes=num_oar_classes,
+        roi_size=roi_size, sw_batch_size=sw_batch_size, overlap=overlap,
+        dose_scale=dose_scale)
 
     if fuse:
         fused = jax.jit(lambda sv, dv, ct, ptv, mask: stage2(dv, stage1(sv, ct, ptv), mask))

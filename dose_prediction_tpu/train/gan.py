@@ -12,7 +12,7 @@ MedicalNet-style 3D ResNet-10. Reference semantics (train_light_gan.py):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -87,11 +87,23 @@ def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
 
 
 class VitGANTrainer:
+    """Full reference harness: alternating G/(windowed-freeze)D training,
+    sliding-window validation with roi = the full image size and the ×80 dose
+    scale (train_light_gan.py:219-238), best checkpoints on
+    mean_dose_score=max + every-epoch 'last' slot with resume (:268-270), and
+    the OpenKBP test sweep."""
+
     def __init__(self, cfg, *, generator: Optional[VitGenerator] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
-                 unfreeze_epoch: int = 10, delta3: float = 0.01):
+                 unfreeze_epoch: int = 10, delta3: float = 0.01,
+                 val_scale: float = 80.0):
+        from dose_prediction_tpu.core import checkpoint as C
+        from dose_prediction_tpu.infer.sliding_window import make_sliding_window_fn
+
         self.cfg = cfg
         self.unfreeze_epoch = unfreeze_epoch
+        self.val_scale = val_scale
+        self.roi_size = tuple(example_shape[1:4])  # roi = IMAGE_SIZE³ (:219-222)
         self.gen = generator if generator is not None else VitGenerator()
         self.disc = resnet10(num_classes=1)
         gx = jnp.zeros(example_shape, jnp.float32)
@@ -107,21 +119,92 @@ class VitGANTrainer:
                                            delta3=delta3, delta1=cfg.delta1,
                                            delta2=cfg.delta2)
         self.logger = MetricLogger(cfg.log_dir, run_name="vitgan")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score",
+                                        mode="max")
+        self._make_sw = make_sliding_window_fn
+        self._sw_runs: Dict[int, Any] = {}
+        self._val_loss_fn = jax.jit(lambda pred, gt: L.gen_loss(pred, gt, mode="val"))
 
-    def fit(self, train_ds: OpenKBPDataset):
+    def _sw_run(self, sw_batch_size: int):
+        run = self._sw_runs.get(sw_batch_size)
+        if run is None:
+            def predict(windows, variables):
+                outs, _ = self.gen.apply(variables, windows, train=False,
+                                         mutable=["batch_stats"])
+                return outs[0]   # lambda x: self.forward(x)[0] (:225)
+
+            run = self._make_sw(predict, roi_size=self.roi_size,
+                                sw_batch_size=sw_batch_size, out_channels=1)
+            self._sw_runs[sw_batch_size] = run
+        return run
+
+    def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
+        """Sliding-window val (train_light_gan.py:219-246): GenLoss val loss on
+        the blended output + masked MAE ×80 → mean_dose_score."""
+        from dose_prediction_tpu.evaluation import metrics as M
+
+        run = self._sw_run(sw_batch_size)
+        variables = {"params": self.g_state.params,
+                     "batch_stats": self.g_state.batch_stats}
+        scores, vlosses = [], []
+        for p in val_ds.patients:
+            pred_dev = run(jnp.asarray(p.model_input[None]), variables)
+            vlosses.append(float(self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))))
+            pred = np.asarray(pred_dev)[0, ..., 0]
+            post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
+            scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
+        return {"mean_dose_score": -float(np.mean(scores)),
+                "val_loss": float(np.mean(vlosses))}
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, resume: bool = True):
+        from dose_prediction_tpu.train.trainers import _host_mean, _try_resume
+
         cfg = self.cfg
-        global_step = 0
-        for epoch in range(cfg.max_epochs):
+        start_epoch = 0
+        if resume:
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"g": self.g_state, "d": self.d_state, "epoch": 0})
+            if restored is not None:
+                self.g_state, self.d_state = restored["g"], restored["d"]
+        global_step = int(self.g_state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
             train_d = epoch >= self.unfreeze_epoch
             g_losses, d_losses = [], []
             for batch in device_prefetch(dose_batches(
                     train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
                 self.g_state, self.d_state, info = self.step(
                     self.g_state, self.d_state, batch, train_d=train_d)
-                g_losses.append(float(info["g_loss"]))
-                d_losses.append(float(info["d_loss"]))
+                g_losses.append(info["g_loss"])
+                d_losses.append(info["d_loss"])
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
-                    return
-            self.logger.log({"gan_loss": float(np.mean(g_losses)),
-                             "disc_loss": float(np.mean(d_losses))}, epoch + 1)
+                    break
+            self.logger.log({"gan_loss": _host_mean(g_losses),
+                             "disc_loss": _host_mean(d_losses)}, epoch + 1)
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                metrics = self.validate(val_ds)
+                self.logger.log(metrics, epoch + 1)
+                self.ckpt.save(epoch,
+                               {"g": self.g_state, "d": self.d_state, "epoch": epoch},
+                               {"mean_dose_score": metrics["mean_dose_score"]})
+            self.ckpt.save_last({"g": self.g_state, "d": self.d_state, "epoch": epoch})
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                return
+
+    def test(self, test_ds: OpenKBPDataset, *, sw_batch_size: int = 4,
+             with_ivs: bool = True):
+        """OpenKBP test sweep on sliding-window ×80 predictions."""
+        from dose_prediction_tpu.evaluation import metrics as M
+        from dose_prediction_tpu.train.trainers import evaluate_dose_model
+
+        run = self._sw_run(sw_batch_size)
+        variables = {"params": self.g_state.params,
+                     "batch_stats": self.g_state.batch_stats}
+
+        def predict_fn(batch):
+            pred = run(batch["input"], variables)
+            return M.postprocess_prediction_jax(pred, batch["gt"][..., 1:2],
+                                                scale=self.val_scale)
+
+        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from dose_prediction_tpu.data.packed import unpack_dose_batch
 from dose_prediction_tpu.evaluation.metrics import dose_score_jax, postprocess_prediction_jax
 from dose_prediction_tpu.train import losses as L
 from dose_prediction_tpu.train.state import TrainState, update_moving_loss
@@ -29,6 +30,7 @@ def make_pyfer_train_step(
     freeze: bool = True,
     donate: bool = True,
     remat: bool = False,
+    packed: bool = False,
 ):
     """DOSE-PYFER step (train_light_pyfer.py:122-143): GenLoss deep supervision
     over the cascade output, frozen net_A by default.
@@ -36,6 +38,10 @@ def make_pyfer_train_step(
     ``remat=True`` rematerializes the forward during backprop
     (jax.checkpoint), trading ~⅓ more FLOPs for activation memory — enables
     larger batches / volumes than the 16 GB HBM otherwise allows.
+
+    ``packed=True`` takes the bit-packed feed (data/packed.py) and unpacks +
+    augments it on device at the top of the step — 6× less H2D payload and
+    zero host-side augmentation work.
     """
 
     def apply_fn(params, batch_stats, x):
@@ -60,6 +66,8 @@ def make_pyfer_train_step(
         return loss, updates["batch_stats"]
 
     def step(state: TrainState, batch: Dict[str, jax.Array]) -> Tuple[TrainState, jax.Array]:
+        if packed:
+            batch = unpack_dose_batch(batch)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -97,7 +105,8 @@ def make_pyfer_eval_step(model):
     return step
 
 
-def make_cascade_c3d_train_step(model, tx: optax.GradientTransformation, *, freeze: bool = False):
+def make_cascade_c3d_train_step(model, tx: optax.GradientTransformation, *,
+                                freeze: bool = False, packed: bool = False):
     """C3D baseline step (train_light_c3d.py): plain masked-L1 cascade Loss."""
 
     def loss_fn(params, batch):
@@ -106,6 +115,8 @@ def make_cascade_c3d_train_step(model, tx: optax.GradientTransformation, *, free
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
+        if packed:
+            batch = unpack_dose_batch(batch)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_state = state.replace(
@@ -120,7 +131,7 @@ def make_cascade_c3d_train_step(model, tx: optax.GradientTransformation, *, free
 
 
 def make_simple_dose_train_step(model, tx: optax.GradientTransformation,
-                                loss_kind: str = "l1"):
+                                loss_kind: str = "l1", *, packed: bool = False):
     """Single-headed dose models (HD-UNet): masked L1 on the lone output
     (train_light_hdunet.py, Loss(casecade=False))."""
 
@@ -131,6 +142,8 @@ def make_simple_dose_train_step(model, tx: optax.GradientTransformation,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
+        if packed:
+            batch = unpack_dose_batch(batch)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_state = state.replace(
@@ -146,14 +159,48 @@ def make_simple_dose_train_step(model, tx: optax.GradientTransformation,
 
 def make_transeg_train_step(model, tx: optax.GradientTransformation):
     """OAR-TranSeg step (train_light_transeg.py:193-198): DiceCE on 96³ crops.
-    batch: {'ct': (N,96,96,96,1), 'labels': (N,96,96,96) int}."""
+    batch: {'ct': (N,96,96,96,1), 'labels': (N,96,96,96) integer — uint8 on
+    the wire (pipeline.seg_batches), widened to int32 on device here}."""
 
     def loss_fn(params, batch_stats, batch):
         logits, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["ct"], train=True, mutable=["batch_stats"],
         )
-        return L.dice_ce_loss(logits, batch["labels"]), updates["batch_stats"]
+        labels = batch["labels"].astype(jnp.int32)
+        return L.dice_ce_loss(logits, labels), updates["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            moving_loss=update_moving_loss(state.moving_loss, loss),
+        )
+        return new_state, loss
+
+    return step
+
+
+def make_deep_supervision_train_step(model, tx: optax.GradientTransformation, *,
+                                     delta1: float = 10.0, delta2: float = 8.0,
+                                     huber: bool = False, cascade: bool = False):
+    """Experimental-zoo step (train_light_exp_models.py:193): any model
+    returning a deep-supervision output list trains with the non-cascade
+    GenLoss (Huber optional). batch_stats-carrying models supported."""
+
+    def loss_fn(params, batch_stats, batch):
+        outs, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["input"], train=True, mutable=["batch_stats"])
+        loss = L.gen_loss(outs, batch["gt"], delta1=delta1, delta2=delta2,
+                          cascade=cascade, huber=huber)
+        return loss, updates["batch_stats"]
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):

@@ -65,12 +65,31 @@ class TrainConfig:
     mesh_shape: Optional[Dict[str, int]] = None
     # 'bfloat16' routes the dose feed through the fused native augmentation
     # (one C++ gather pass + bf16 cast: 5× host-side, half the H2D payload —
-    # docs/PERFORMANCE.md). Pair with a bf16-dtype model for best effect.
-    feed_dtype: str = "float32"      # 'float32' | 'bfloat16'
+    # docs/PERFORMANCE.md). 'packed' ships bit-packed masks + bf16 scalars
+    # (6 B/voxel vs 36) and unpacks + augments ON DEVICE inside the jit step
+    # (data/packed.py) — the strongest answer to a slow host↔device link.
+    feed_dtype: str = "float32"      # 'float32' | 'bfloat16' | 'packed'
     # gradient accumulation: average k micro-batch gradients per optimizer
     # update (optax.MultiSteps) — effective batch k·batch_size at micro-batch
     # memory (HBM caps the 128³ flagship at device batch 2)
     grad_accum: int = 1
+    # C3D optimizer/scheduler selection (train_light_c3d.py:179-243 /
+    # network_trainer.py:110-153). lr_encoder/lr_decoder give the encoder and
+    # decoder parameter groups separate rates; scheduler picks the LR policy.
+    # Schedule horizons (milestones, t_max) are in optimizer STEPS — torch
+    # steps its schedulers per epoch, optax per update; pass
+    # epochs×steps_per_epoch for exact parity.
+    # per-block rematerialization in the flagship decoder (models/dose_pyfer.py
+    # remat_blocks): ~⅓ more decoder FLOPs for much lower activation memory —
+    # the enabler for device batch ≥3 at 128³ on 16 GB HBM
+    remat_blocks: bool = False
+    lr_encoder: Optional[float] = None
+    lr_decoder: Optional[float] = None
+    scheduler: Optional[str] = None       # 'multistep' | 'cosine' | 'plateau'
+    milestones: Sequence[int] = ()        # multistep boundaries (steps)
+    gamma: float = 0.1                    # multistep decay factor
+    t_max: Optional[int] = None           # cosine horizon (steps)
+    eta_min: float = 0.0                  # cosine floor
 
 
 def _init_state_with_mesh(variables, tx, mesh_shape, *, tp_rules=None):
@@ -123,6 +142,45 @@ def _timed_batches(iterator, timer: EpochTimer, bucket: str = "loader"):
         yield batch
 
 
+def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool):
+    """Epoch batch source honoring cfg.feed_dtype ('float32' | 'bfloat16' |
+    'packed'); the packed feed pairs with step factories built with
+    packed=True (data/packed.py)."""
+    if cfg.feed_dtype == "packed":
+        from dose_prediction_tpu.data.packed import packed_dose_batches
+
+        return packed_dose_batches(train_ds, batch_size=cfg.batch_size,
+                                   seed=cfg.seed + epoch, drop_last=drop_last)
+    return dose_batches(train_ds, batch_size=cfg.batch_size,
+                        seed=cfg.seed + epoch, drop_last=drop_last,
+                        native_bf16=cfg.feed_dtype == "bfloat16")
+
+
+def _host_mean(losses: List[jax.Array]) -> float:
+    """Mean of an epoch's device loss scalars with ONE host sync at epoch end.
+    The reference reads loss.item() every iteration (network_trainer.py:246);
+    on a remote TPU backend each device→host read costs ~29 ms (~12% of the
+    233 ms flagship step) and partially serializes against device_prefetch —
+    so train loops keep the per-step scalars on device and reduce them here."""
+    if not losses:
+        return float("nan")
+    return float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses])))
+
+
+def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any]):
+    """Shared resume policy (every trainer's ckpt_path='last.ckpt' analogue,
+    e.g. train_light_hdunet.py:296, train_light_dosegan.py:349): prefer the
+    every-epoch 'last' slot (at least as fresh as monitored saves), fall back
+    to the newest monitored/legacy checkpoint. Returns (tree|None, start_epoch).
+    """
+    restored = ckpt.restore_last(template)
+    if restored is None:
+        _, restored = ckpt.restore_latest(template)
+    if restored is None:
+        return None, 0
+    return restored, int(restored["epoch"]) + 1
+
+
 class PyferTrainer:
     """Flagship DOSE-PYFER trainer."""
 
@@ -130,7 +188,8 @@ class PyferTrainer:
                  pretrained_c3d_params: Optional[Any] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9)):
         self.cfg = cfg
-        self.model = model if model is not None else DosePyfer()
+        self.model = model if model is not None else DosePyfer(
+            remat_blocks=cfg.remat_blocks)
         variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
         params = variables["params"]
@@ -146,7 +205,7 @@ class PyferTrainer:
             _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
         self.train_step = STEP.make_pyfer_train_step(
             self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
-            freeze=cfg.freeze_net_a)
+            freeze=cfg.freeze_net_a, packed=cfg.feed_dtype == "packed")
         self.eval_step = STEP.make_pyfer_eval_step(self.model)
         self.logger = MetricLogger(cfg.log_dir, run_name="pyfer")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
@@ -176,21 +235,20 @@ class PyferTrainer:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             timer.reset()
-            epoch_losses: List[float] = []
-            it = _timed_batches(device_prefetch(dose_batches(
-                train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
-                drop_last=self.batch_sharding is not None,
-                native_bf16=cfg.feed_dtype == "bfloat16"),
+            epoch_losses: List[jax.Array] = []
+            it = _timed_batches(device_prefetch(
+                _train_batches(cfg, train_ds, epoch,
+                               drop_last=self.batch_sharding is not None),
                 sharding=self.batch_sharding), timer)
             for batch in it:
                 timer.tick()
                 self.state, loss = self.train_step(self.state, batch)
-                epoch_losses.append(float(loss))
+                epoch_losses.append(loss)   # device scalar; no per-step sync
                 timer.tock("train")
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
                     break
-            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else np.nan
+            mean_loss = _host_mean(epoch_losses)
             self.logger.log({"train_mean_loss": mean_loss,
                              "moving_loss": float(self.state.moving_loss)}, epoch + 1)
 
@@ -246,21 +304,35 @@ def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
     (sort-based masked percentiles): only scalars cross back to the host —
     no prediction D2H, no per-structure numpy sorts (remote-backend eval
     sweeps get several× faster; numpy-parity tested). Per-structure detail
-    values are reported by the host path only."""
+    values are reported by the host path only. The sweep is software-
+    pipelined: patient i+1's forward+scoring programs are dispatched before
+    patient i's scalars are read, so the per-patient host sync overlaps the
+    next patient's device work (infer.pipeline.pipeline_map)."""
+    from dose_prediction_tpu.infer.pipeline import pipeline_map
+
     dose_scores, dvh_scores = [], []
     ivs_curves = []
     per_patient: Dict[str, Dict] = {}
-    for p in ds.patients:
+
+    def produce(p):
         batch = {"input": jnp.asarray(p.model_input[None]),
                  "gt": jnp.asarray(p.gt[None])}
         if device_metrics:
+            # async dispatch; only the consume step reads scalars
             pred_dev = predict_fn(batch)[0, ..., 0]
-            out = M.patient_scores_device(pred_dev, p, with_ivs=with_ivs)
-            ds_score, dvh = out["dose_dif"], {"dvh_dif": out["dvh_dif"], "detail": {}}
+            return p, M.patient_scores_device(pred_dev, p, with_ivs=with_ivs,
+                                              sync=False)
+        return p, predict_fn(batch)
+
+    def consume(staged):
+        p, out = staged
+        if device_metrics:
+            ds_score = float(out["dose_dif"])
+            dvh = {"dvh_dif": float(out["dvh_dif"]), "detail": {}}
             if with_ivs:
-                ivs_curves.append(out["ivs"])
+                ivs_curves.append(np.asarray(out["ivs"]))
         else:
-            pred = np.asarray(predict_fn(batch))[0, ..., 0]
+            pred = np.asarray(out)[0, ..., 0]
             ds_score = M.dose_score(pred, p.real_dose, p.dose_mask)
             dvh = M.dvh_score_for_patient(pred, p.real_dose, p.structures, p.spacing)
             if with_ivs:
@@ -270,6 +342,9 @@ def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
             dvh_scores.append(dvh["dvh_dif"])
         per_patient[p.patient_id] = {"dose_dif": ds_score, "dvh_dif": dvh["dvh_dif"],
                                      **dvh["detail"]}
+
+    for _ in pipeline_map(produce, consume, ds.patients):
+        pass
     return {
         "mean_dose_score": float(np.mean(dose_scores)),
         "std_dose_score": float(np.std(dose_scores)),
@@ -282,10 +357,16 @@ def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
 class CascadeC3DTrainer:
     """C3D baseline (train_light_c3d.py), masked-L1 cascade loss.
 
-    ``plateau``: a train.state.ReduceLROnPlateau consumed the reference way
-    (network_trainer.py:137-153: scheduler.step(val) each val epoch). The lr
-    lives inside the optimizer state via optax.inject_hyperparams, so updates
-    take effect without retracing the train step."""
+    Optimizer/scheduler selection follows configure_optimizers
+    (train_light_c3d.py:179-243): split encoder/decoder learning rates when
+    ``cfg.lr_encoder``/``cfg.lr_decoder`` are set (the reference splits
+    whenever the model has encoder/decoder attributes — ours always does, so
+    the split is opt-in via config), and ``cfg.scheduler`` picks
+    multistep ('step'), cosine, or plateau. The plateau monitors
+    moving_train_loss per epoch (reference monitor="moving_train_loss",
+    :239-241) via optax.inject_hyperparams, so lr updates take effect without
+    retracing the train step. Resumes from the every-epoch 'last' slot
+    (:372-374 fit(ckpt_path='last.ckpt'))."""
 
     def __init__(self, cfg: TrainConfig, *, model: Optional[CascadeC3D] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
@@ -295,49 +376,85 @@ class CascadeC3DTrainer:
         self.model = model if model is not None else CascadeC3D()
         variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
+        if plateau is None and cfg.scheduler == "plateau":
+            plateau = S.ReduceLROnPlateau(base_lr=cfg.learning_rate)
         self.plateau = plateau
+
+        split = cfg.lr_encoder is not None or cfg.lr_decoder is not None
+
+        def sched_of(base_lr):
+            if schedule is not None:
+                return schedule
+            if cfg.scheduler == "multistep":
+                return S.multistep_schedule(base_lr, cfg.milestones, cfg.gamma)
+            if cfg.scheduler == "cosine":
+                return S.cosine_schedule(
+                    base_lr, cfg.t_max if cfg.t_max is not None else cfg.max_epochs,
+                    cfg.eta_min)
+            return base_lr
+
         if plateau is not None:
+            if split:
+                raise ValueError("plateau + split encoder/decoder LRs is not "
+                                 "supported (single injected lr)")
             plateau.lr = cfg.learning_rate
             self.tx = S.make_plateau_optimizer(
                 base_lr=cfg.learning_rate, weight_decay=cfg.weight_decay)
+        elif split:
+            self.tx = S.make_split_lr_optimizer(
+                lr_encoder=sched_of(cfg.lr_encoder if cfg.lr_encoder is not None
+                                    else cfg.learning_rate),
+                lr_decoder=sched_of(cfg.lr_decoder if cfg.lr_decoder is not None
+                                    else cfg.learning_rate),
+                weight_decay=cfg.weight_decay)
         else:
-            lr = schedule if schedule is not None else cfg.learning_rate
-            self.tx = S.make_optimizer(learning_rate=lr, weight_decay=cfg.weight_decay)
+            self.tx = S.make_optimizer(learning_rate=sched_of(cfg.learning_rate),
+                                       weight_decay=cfg.weight_decay)
         self.state, self.mesh, self.batch_sharding, self.val_sharding = \
             _init_state_with_mesh(variables, self.tx, cfg.mesh_shape, tp_rules=())
-        self.train_step = STEP.make_cascade_c3d_train_step(self.model, self.tx)
+        self.train_step = STEP.make_cascade_c3d_train_step(
+            self.model, self.tx, packed=cfg.feed_dtype == "packed")
         self.logger = MetricLogger(cfg.log_dir, run_name="c3d")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
-
-    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None):
-        cfg = self.cfg
-        global_step = 0
 
         @jax.jit
         def predict(params, x):
             _, pred_b = self.model.apply({"params": params}, x)
             return pred_b
 
+        self._predict = predict
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, resume: bool = True):
+        cfg = self.cfg
         _check_mesh_batch(cfg, self.mesh)
-        for epoch in range(cfg.max_epochs):
+        start_epoch = 0
+        if resume:
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"state": self.state, "epoch": 0})
+            if restored is not None:
+                self.state = restored["state"]
+                self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
+        global_step = int(self.state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
-                    drop_last=self.batch_sharding is not None),
+            for batch in device_prefetch(
+                    _train_batches(cfg, train_ds, epoch,
+                                   drop_last=self.batch_sharding is not None),
                     sharding=self.batch_sharding):
                 self.state, loss = self.train_step(self.state, batch)
-                losses.append(float(loss))
+                losses.append(loss)
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
                     break
-            self.logger.log({"train_mean_loss": float(np.mean(losses))}, epoch + 1)
+            self.logger.log({"train_mean_loss": _host_mean(losses)}, epoch + 1)
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
                 scores = []
                 for batch in dose_batches(val_ds, batch_size=1, shuffle=False, augment=False):
                     x = batch["input"]
                     if self.val_sharding is not None:
                         x = jax.device_put(jnp.asarray(x), self.val_sharding)
-                    pred = predict(self.state.params, jnp.asarray(x))
+                    pred = self._predict(self.state.params, jnp.asarray(x))
                     gt = batch["gt"]
                     post = M.postprocess_prediction(np.asarray(pred)[..., 0], gt[..., 1])
                     scores.append(M.dose_score(post, 70 * gt[..., 0], gt[..., 1]))
@@ -345,22 +462,39 @@ class CascadeC3DTrainer:
                 self.logger.log({"mean_dose_score": mds}, epoch + 1)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"mean_dose_score": mds})
-                if self.plateau is not None:
-                    # monitored value: mean dose error (minimize), i.e. -mds
-                    new_lr = self.plateau.step(-mds)
-                    if new_lr != S.get_learning_rate(self.state.opt_state):
-                        self.state = self.state.replace(
-                            opt_state=S.set_learning_rate(self.state.opt_state, new_lr))
-                        self.logger.log({"lr": new_lr}, epoch + 1)
+            if self.plateau is not None:
+                # monitor: the EMA train loss, per epoch (reference
+                # monitor="moving_train_loss", train_light_c3d.py:239-241)
+                new_lr = self.plateau.step(float(self.state.moving_loss))
+                if new_lr != S.get_learning_rate(self.state.opt_state):
+                    self.state = self.state.replace(
+                        opt_state=S.set_learning_rate(self.state.opt_state, new_lr))
+                    self.logger.log({"lr": new_lr}, epoch + 1)
+            self.ckpt.save_last({"state": self.state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
+    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+        """OpenKBP test sweep (train_light_c3d.py:245-322)."""
+        def predict_fn(batch):
+            pred = self._predict(self.state.params, batch["input"])
+            gt = batch["gt"]
+            return M.postprocess_prediction_jax(pred, gt[..., 1:2])
+
+        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs)
+
 
 class HDUNetTrainer:
-    """HD-UNet baseline (train_light_hdunet.py): single-head masked L1."""
+    """HD-UNet baseline (train_light_hdunet.py) on the full reference harness:
+    masked-L1 training, full-volume validation scored as the ×70 masked MAE →
+    mean_dose_score (:127-163), best checkpoints on mean_dose_score=max plus
+    an every-epoch 'last' slot with resume (:269-271,296), and the OpenKBP
+    test sweep (:165-186)."""
 
     def __init__(self, cfg: TrainConfig, *, model: Optional[HDUNet] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9)):
+        from dose_prediction_tpu.train import losses as L
+
         self.cfg = cfg
         self.model = model if model is not None else HDUNet(growth_rate=16, upsample_chan=64)
         variables = jax.jit(self.model.init)(
@@ -369,25 +503,70 @@ class HDUNetTrainer:
                                    weight_decay=cfg.weight_decay)
         self.state, self.mesh, self.batch_sharding, self.val_sharding = \
             _init_state_with_mesh(variables, self.tx, cfg.mesh_shape, tp_rules=())
-        self.train_step = STEP.make_simple_dose_train_step(self.model, self.tx)
+        self.train_step = STEP.make_simple_dose_train_step(
+            self.model, self.tx, packed=cfg.feed_dtype == "packed")
         self.logger = MetricLogger(cfg.log_dir, run_name="hdunet")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
 
-    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None):
+        @jax.jit
+        def eval_step(params, batch):
+            pred = self.model.apply({"params": params}, batch["input"])
+            gt = batch["gt"]
+            vloss = L.masked_l1(pred, gt[..., 0:1], gt[..., 1:2])
+            post = M.postprocess_prediction_jax(pred, gt[..., 1:2])
+            score = M.dose_score_jax(post, 70.0 * gt[..., 0:1], gt[..., 1:2])
+            return vloss, score, post
+
+        self.eval_step = eval_step
+
+    def validate(self, val_ds: OpenKBPDataset) -> Dict[str, float]:
+        scores, vlosses = [], []
+        for batch in device_prefetch(dose_batches(
+                val_ds, batch_size=1, shuffle=False, augment=False),
+                sharding=self.val_sharding):
+            vl, sc, _ = self.eval_step(self.state.params, batch)
+            vlosses.append(float(vl))
+            scores.append(float(sc))
+        return {"mean_dose_score": -float(np.mean(scores)),
+                "val_loss": float(np.mean(vlosses))}
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, resume: bool = True):
         cfg = self.cfg
         _check_mesh_batch(cfg, self.mesh)
-        global_step = 0
-        for epoch in range(cfg.max_epochs):
+        start_epoch = 0
+        if resume:
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"state": self.state, "epoch": 0})
+            if restored is not None:
+                self.state = restored["state"]
+        global_step = int(self.state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
-                    drop_last=self.batch_sharding is not None),
+            for batch in device_prefetch(
+                    _train_batches(cfg, train_ds, epoch,
+                                   drop_last=self.batch_sharding is not None),
                     sharding=self.batch_sharding):
                 self.state, loss = self.train_step(self.state, batch)
-                losses.append(float(loss))
+                losses.append(loss)
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
-                    return
-            self.logger.log({"train_mean_loss": float(np.mean(losses))}, epoch + 1)
+                    break
+            self.logger.log({"train_mean_loss": _host_mean(losses)}, epoch + 1)
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                metrics = self.validate(val_ds)
+                self.logger.log(metrics, epoch + 1)
+                self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
+                               {"mean_dose_score": metrics["mean_dose_score"]})
+            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                return
+
+    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+        """OpenKBP test sweep (train_light_hdunet.py:165-186)."""
+        return evaluate_dose_model(
+            lambda batch: self.eval_step(self.state.params, batch)[2],
+            test_ds, with_ivs=with_ivs)
 
 
 class TranSegTrainer:
@@ -414,6 +593,14 @@ class TranSegTrainer:
         self.train_step = STEP.make_transeg_train_step(self.model, self.tx)
         self.logger = MetricLogger(cfg.log_dir, run_name="transeg")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="val_loss", mode="min")
+        # validation programs built ONCE per sw_batch_size: a fresh jit closure
+        # per validate() call retraces the whole 96³ sliding-window graph every
+        # check_val epochs (seconds per epoch warm, minutes cold)
+        self._sw_runs: Dict[int, Any] = {}
+        from dose_prediction_tpu.train import losses as L
+
+        self._val_loss_fn = jax.jit(
+            lambda logits, labels: L.dice_ce_loss(logits, labels))
 
     def _predictor(self):
         # variables flow as jit arguments (see sliding_window module docstring)
@@ -424,17 +611,22 @@ class TranSegTrainer:
 
         return predict
 
+    def _sw_run(self, sw_batch_size: int):
+        run = self._sw_runs.get(sw_batch_size)
+        if run is None:
+            run = make_sliding_window_fn(
+                self._predictor(), roi_size=self.crop,
+                sw_batch_size=sw_batch_size, out_channels=self.num_classes)
+            self._sw_runs[sw_batch_size] = run
+        return run
+
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
         """Sliding-window full-volume val with Dice + HD95 + the DiceCE VAL
         loss the reference's checkpoint monitor watches
         (train_light_transeg.py:205-242: val_loss is computed on the
         sliding-window outputs, not on the training crops)."""
-        from dose_prediction_tpu.train import losses as L
-
-        run = make_sliding_window_fn(
-            self._predictor(), roi_size=self.crop, sw_batch_size=sw_batch_size,
-            out_channels=self.num_classes)
-        val_loss_fn = jax.jit(lambda logits, labels: L.dice_ce_loss(logits, labels))
+        run = self._sw_run(sw_batch_size)
+        val_loss_fn = self._val_loss_fn
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         dices, hds, vlosses = [], [], []
         for p in val_ds.patients:
@@ -466,15 +658,17 @@ class TranSegTrainer:
             for batch in device_prefetch(seg_batches(
                     train_ds, crop=self.crop, num_samples=num_samples,
                     batch_size=cfg.batch_size, seed=cfg.seed + epoch,
-                    drop_last=self.batch_sharding is not None),
+                    drop_last=self.batch_sharding is not None,
+                    # seg has no bit-packed format; 'packed' maps to the bf16 CT
+                    feed_dtype="bfloat16" if cfg.feed_dtype in ("bfloat16", "packed")
+                    else "float32"),
                     sharding=self.batch_sharding):
                 self.state, loss = self.train_step(self.state, batch)
-                losses.append(float(loss))
+                losses.append(loss)
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
                     break
-            mean_loss = float(np.mean(losses)) if losses else np.nan
-            self.logger.log({"train_loss": mean_loss}, epoch + 1)
+            self.logger.log({"train_loss": _host_mean(losses)}, epoch + 1)
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
                 dice, hd95, val_loss = self.validate(val_ds)
                 self.logger.log({"dice_metric": dice, "hd95_metric": hd95,
@@ -505,83 +699,115 @@ class ExpModelTrainer:
     """Pluggable experimental-model harness (train_light_exp_models.py
     TestModel): any model returning deep-supervision output lists trains with
     non-cascade GenLoss (:193, huber optional); val/test run sliding-window
-    inference with an ×80 dose scale (:224-227,235)."""
+    inference with an ×80 dose scale and roi = the full image size
+    (:222-236,271-280). Best checkpoints on mean_dose_score=max + 'last'
+    slot + resume (:372-374,412)."""
 
     def __init__(self, cfg: TrainConfig, model, *,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
                  huber: bool = False, val_scale: float = 80.0,
-                 roi_size: Sequence[int] = (96, 96, 96)):
-        import optax
-
+                 roi_size: Optional[Sequence[int]] = None):
         from dose_prediction_tpu.train import losses as L
 
         self.cfg = cfg
         self.model = model
         self.val_scale = val_scale
-        self.roi_size = tuple(roi_size)
+        # reference roi = (IMAGE_SIZE,)*3, i.e. the full training resolution
+        # (train_light_exp_models.py:222); default to the example shape
+        self.roi_size = tuple(roi_size) if roi_size is not None else tuple(example_shape[1:4])
         variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
         self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
                                    weight_decay=cfg.weight_decay)
         self.state = S.create_train_state(variables, self.tx)
         self.logger = MetricLogger(cfg.log_dir, run_name="exp_model")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
+        self.train_step = STEP.make_deep_supervision_train_step(
+            self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2, huber=huber)
+        # one sliding-window program per sw_batch_size, built once (a fresh
+        # closure per validate() call would retrace the whole sweep)
+        self._sw_runs: Dict[int, Any] = {}
+        self._val_loss_fn = jax.jit(
+            lambda pred, gt: L.gen_loss(pred, gt, mode="val"))
 
-        def loss_fn(params, batch_stats, batch):
-            outs, updates = self.model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                batch["input"], train=True, mutable=["batch_stats"])
-            loss = L.gen_loss(outs, batch["gt"], delta1=cfg.delta1,
-                              delta2=cfg.delta2, cascade=False, huber=huber)
-            return loss, updates["batch_stats"]
+    def _sw_run(self, sw_batch_size: int):
+        run = self._sw_runs.get(sw_batch_size)
+        if run is None:
+            def predict(windows, variables):
+                outs, _ = self.model.apply(variables, windows, train=False,
+                                           mutable=["batch_stats"])
+                return outs[0]
 
-        @jax.jit
-        def step(state, batch):
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, batch)
-            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-            return state.replace(
-                step=state.step + 1,
-                params=optax.apply_updates(state.params, updates),
-                batch_stats=new_stats, opt_state=new_opt,
-                moving_loss=S.update_moving_loss(state.moving_loss, loss),
-            ), loss
+            run = make_sliding_window_fn(predict, roi_size=self.roi_size,
+                                         sw_batch_size=sw_batch_size, out_channels=1)
+            self._sw_runs[sw_batch_size] = run
+        return run
 
-        self.train_step = step
-
-    def fit(self, train_ds: OpenKBPDataset):
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, resume: bool = True):
         cfg = self.cfg
-        global_step = 0
-        for epoch in range(cfg.max_epochs):
+        start_epoch = 0
+        if resume:
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"state": self.state, "epoch": 0})
+            if restored is not None:
+                self.state = restored["state"]
+        global_step = int(self.state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
             for batch in device_prefetch(dose_batches(
                     train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
                 self.state, loss = self.train_step(self.state, batch)
-                losses.append(float(loss))
+                losses.append(loss)
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
-                    return
-            self.logger.log({"train_mean_loss": float(np.mean(losses))}, epoch + 1)
+                    break
+            self.logger.log({"train_mean_loss": _host_mean(losses)}, epoch + 1)
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                metrics = self.validate(val_ds)
+                self.logger.log(metrics, epoch + 1)
+                self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
+                               {"mean_dose_score": metrics["mean_dose_score"]})
+            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                return
 
-    def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
-        """Sliding-window val: masked MAE × val_scale per patient."""
-        def predict(windows, variables):
-            outs, _ = self.model.apply(variables, windows, train=False,
-                                       mutable=["batch_stats"])
-            return outs[0]
-
-        run = make_sliding_window_fn(predict, roi_size=self.roi_size,
-                                     sw_batch_size=sw_batch_size, out_channels=1)
+    def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4) -> Dict[str, float]:
+        """Sliding-window val (train_light_exp_models.py:218-247): GenLoss val
+        loss on the blended output + masked MAE × val_scale → mean_dose_score."""
+        run = self._sw_run(sw_batch_size)
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        scores = []
+        scores, vlosses = [], []
         for p in val_ds.patients:
-            pred = np.asarray(run(jnp.asarray(p.model_input[None]), variables))[0, ..., 0]
+            pred_dev = run(jnp.asarray(p.model_input[None]), variables)
+            vlosses.append(float(self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))))
+            pred = np.asarray(pred_dev)[0, ..., 0]
             post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
             scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
-        return float(np.mean(scores))
+        return {"mean_dose_score": -float(np.mean(scores)),
+                "val_loss": float(np.mean(vlosses))}
+
+    def test(self, test_ds: OpenKBPDataset, *, sw_batch_size: int = 4,
+             with_ivs: bool = True) -> Dict[str, Any]:
+        """OpenKBP test sweep on sliding-window predictions × val_scale
+        (train_light_exp_models.py:263-300)."""
+        run = self._sw_run(sw_batch_size)
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+        def predict_fn(batch):
+            pred = run(batch["input"], variables)
+            return M.postprocess_prediction_jax(pred, batch["gt"][..., 1:2],
+                                                scale=self.val_scale)
+
+        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs)
 
 
 class DoseGANTrainer:
-    """DoseGAN (train_light_dosegan.py): alternating G/D updates."""
+    """DoseGAN (train_light_dosegan.py): alternating G/D updates on the full
+    reference harness — full-volume generator validation scored as the plain
+    L1 val loss + ×70 masked MAE → mean_dose_score (:157-198), best ckpts on
+    mean_dose_score=max with an every-epoch 'last' slot and resume
+    (:313-315,349-355), and the OpenKBP test sweep (:207-225)."""
 
     def __init__(self, cfg: TrainConfig, *, ngf: int = 64, ndf: int = 64,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
@@ -600,19 +826,67 @@ class DoseGANTrainer:
         self.step = STEP.make_dosegan_train_steps(
             self.gen, self.disc, self.g_tx, self.d_tx, l1_weight=l1_weight)
         self.logger = MetricLogger(cfg.log_dir, run_name="dosegan")
+        self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
 
-    def fit(self, train_ds: OpenKBPDataset):
+        @jax.jit
+        def eval_step(g_params, g_stats, batch):
+            pred, _ = self.gen.apply(
+                {"params": g_params, "batch_stats": g_stats}, batch["input"],
+                train=False, mutable=["batch_stats"])
+            gt = batch["gt"]
+            # val loss = unmasked L1 vs gt dose (criterionL1, :81,168)
+            vloss = jnp.mean(jnp.abs(pred - gt[..., 0:1]))
+            post = M.postprocess_prediction_jax(pred, gt[..., 1:2])
+            score = M.dose_score_jax(post, 70.0 * gt[..., 0:1], gt[..., 1:2])
+            return vloss, score, post
+
+        self.eval_step = eval_step
+
+    def validate(self, val_ds: OpenKBPDataset) -> Dict[str, float]:
+        scores, vlosses = [], []
+        for batch in device_prefetch(dose_batches(
+                val_ds, batch_size=1, shuffle=False, augment=False)):
+            vl, sc, _ = self.eval_step(self.g_state.params, self.g_state.batch_stats, batch)
+            vlosses.append(float(vl))
+            scores.append(float(sc))
+        return {"mean_dose_score": -float(np.mean(scores)),
+                "val_loss": float(np.mean(vlosses))}
+
+    def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
+            *, resume: bool = True):
         cfg = self.cfg
-        global_step = 0
-        for epoch in range(cfg.max_epochs):
+        start_epoch = 0
+        if resume:
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"g": self.g_state, "d": self.d_state, "epoch": 0})
+            if restored is not None:
+                self.g_state, self.d_state = restored["g"], restored["d"]
+        global_step = int(self.g_state.step)
+        for epoch in range(start_epoch, cfg.max_epochs):
             g_losses, d_losses = [], []
             for batch in device_prefetch(dose_batches(
                     train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
                 self.g_state, self.d_state, info = self.step(self.g_state, self.d_state, batch)
-                g_losses.append(float(info["g_loss"]))
-                d_losses.append(float(info["d_loss"]))
+                g_losses.append(info["g_loss"])
+                d_losses.append(info["d_loss"])
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
-                    return
-            self.logger.log({"gan_loss": float(np.mean(g_losses)),
-                             "disc_loss": float(np.mean(d_losses))}, epoch + 1)
+                    break
+            self.logger.log({"gan_loss": _host_mean(g_losses),
+                             "disc_loss": _host_mean(d_losses)}, epoch + 1)
+            if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
+                metrics = self.validate(val_ds)
+                self.logger.log(metrics, epoch + 1)
+                self.ckpt.save(epoch,
+                               {"g": self.g_state, "d": self.d_state, "epoch": epoch},
+                               {"mean_dose_score": metrics["mean_dose_score"]})
+            self.ckpt.save_last({"g": self.g_state, "d": self.d_state, "epoch": epoch})
+            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                return
+
+    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+        """OpenKBP test sweep (train_light_dosegan.py:207-225)."""
+        return evaluate_dose_model(
+            lambda batch: self.eval_step(self.g_state.params,
+                                         self.g_state.batch_stats, batch)[2],
+            test_ds, with_ivs=with_ivs)

@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--workdir", default=None, help="ckpt/log root (default: tmp)")
     ap.add_argument("--small", action="store_true",
                     help="reduced model widths (CI-sized rehearsal)")
+    ap.add_argument("--feed-dtype", choices=["float32", "bfloat16", "packed"],
+                    default="float32",
+                    help="training feed: 'packed' ships bit-packed masks and "
+                         "augments on device (6x less H2D — data/packed.py)")
     args = ap.parse_args()
 
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
@@ -96,6 +100,7 @@ def main() -> int:
     t0 = time.perf_counter()
     seg_cfg = TrainConfig(max_epochs=args.epochs_seg, check_val=max(1, args.epochs_seg),
                           batch_size=args.batch_size, learning_rate=1e-4,
+                          feed_dtype=args.feed_dtype,
                           ckpt_dir=str(work / "seg_ckpt"), log_dir=str(work / "seg_logs"))
     seg_tr = TranSegTrainer(seg_cfg, model=seg_model, crop=crop)
     seg_tr.fit(ds, val_ds=ds, num_samples=2)
@@ -107,7 +112,7 @@ def main() -> int:
     # ---- stage 2: DOSE-PYFER (train_light_pyfer.main) -----------------------
     t0 = time.perf_counter()
     dose_cfg = TrainConfig(max_epochs=args.epochs_dose, check_val=max(1, args.epochs_dose),
-                           batch_size=args.batch_size,
+                           batch_size=args.batch_size, feed_dtype=args.feed_dtype,
                            ckpt_dir=str(work / "dose_ckpt"), log_dir=str(work / "dose_logs"))
     dose_tr = PyferTrainer(dose_cfg, model=dose_model,
                            example_shape=(1, *shape, 9))

@@ -1,0 +1,69 @@
+"""Streaming pipeline-parallel serve tests (infer/pipeline.py): ordering of
+the 1-deep pipeline, two-device placement, and parity with the serial
+cascade on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dose_prediction_tpu.infer.pipeline import StreamingCascade, pipeline_map
+
+SIZE = 32
+
+
+def test_pipeline_map_orders_and_overlaps():
+    log = []
+
+    def produce(i):
+        log.append(f"p{i}")
+        return i
+
+    def consume(i):
+        log.append(f"c{i}")
+        return i * 10
+
+    out = list(pipeline_map(produce, consume, range(3)))
+    assert out == [0, 10, 20]
+    # 1-deep: produce(i+1) is dispatched BEFORE consume(i)
+    assert log == ["p0", "p1", "c0", "p2", "c1", "c2"]
+
+
+@pytest.mark.slow
+def test_streaming_cascade_matches_serial(tmp_path):
+    from dose_prediction_tpu.infer.cascade import make_cascade_fn
+    from dose_prediction_tpu.models import DosePyfer, TranSeg
+
+    seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                  num_layers=2, num_heads=2)
+    dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                     hidden_size=24, mlp_dim=48, num_layers=2, num_heads=2)
+    seg_vars = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, SIZE, 1)))
+    dose_vars = dose.init(jax.random.PRNGKey(1), jnp.zeros((1, SIZE, SIZE, SIZE, 9)))
+
+    rng = np.random.default_rng(0)
+    patients = []
+    for _ in range(3):
+        ct = rng.standard_normal((1, SIZE, SIZE, SIZE, 1)).astype(np.float32)
+        ptv = (rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.7).astype(np.float32)
+        mask = (rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.3).astype(np.float32)
+        patients.append((ct, ptv, mask))
+
+    devs = jax.devices()
+    assert len(devs) >= 2   # conftest forces the 8-device CPU mesh
+    pipe = StreamingCascade(seg, seg_vars, dose, dose_vars,
+                            seg_device=devs[0], dose_device=devs[1],
+                            roi_size=(SIZE, SIZE, SIZE), sw_batch_size=1)
+    streamed = [np.asarray(d) for d in pipe.run_stream(patients)]
+    assert len(streamed) == 3
+
+    serial = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                             roi_size=(SIZE, SIZE, SIZE), sw_batch_size=1)
+    for (ct, ptv, mask), got in zip(patients, streamed):
+        want = np.asarray(serial(jnp.asarray(ct), jnp.asarray(ptv), jnp.asarray(mask)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # the dose result really lives on the second device
+    last = pipe.run_one(*[jnp.asarray(a) for a in patients[0]])
+    assert list(last.devices()) == [devs[1]]

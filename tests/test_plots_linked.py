@@ -58,8 +58,9 @@ def test_exp_model_trainer(tmp_path, ds):
     tr = ExpModelTrainer(cfg, gen, example_shape=(1, SIZE, SIZE, SIZE, 9),
                          roi_size=(SIZE, SIZE, SIZE))
     tr.fit(ds)
-    score = tr.validate(ds, sw_batch_size=2)
-    assert np.isfinite(score)
+    metrics = tr.validate(ds, sw_batch_size=2)
+    assert np.isfinite(metrics["mean_dose_score"])
+    assert np.isfinite(metrics["val_loss"])
 
 
 def test_linked_model_evaluate(tmp_path, ds):
