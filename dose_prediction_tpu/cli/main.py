@@ -98,10 +98,20 @@ def build_parser() -> argparse.ArgumentParser:
     inf.add_argument("--dose-ckpt", required=True)
     inf.add_argument("--out", required=True, help="output dose .nii.gz")
 
+    pr = sub.add_parser("predict", help="dose predictions for a cohort → NIfTI "
+                        "files (the reference test_step's saved outputs; score "
+                        "the directory with evaluation.metrics.score_prediction_dirs)")
+    _add_common(pr)
+    pr.add_argument("--ckpt", required=True, help="dose-model checkpoint")
+    pr.add_argument("--out-dir", required=True,
+                    help="one <out-dir>/<patient_id>/dose.nii.gz per patient")
+
     tu = sub.add_parser("tune", help="ASHA hyperparameter search")
     _add_common(tu)
     tu.add_argument("--num-samples", type=int, default=10)
-    tu.add_argument("--sampler", choices=["random", "tpe"], default="tpe")
+    tu.add_argument("--sampler", choices=["random", "tpe", "gp"], default="tpe",
+                    help="'tpe' = OptunaSearch analogue, 'gp' = BayesOptSearch "
+                         "analogue (GP expected improvement)")
     tu.add_argument("--max-concurrent", type=int, default=1,
                     help="parallel trials (one per device sub-slice)")
     tu.add_argument("--grace-period", type=int, default=1,
@@ -263,6 +273,30 @@ def main(argv=None) -> int:
                 pred = np.asarray(trainer.eval_step(trainer.state, batch)["prediction"])[0, ..., 0]
                 plot_dvh(pred, p.real_dose, p.structures,
                          Path(args.plots_dir) / f"dvh_{p.patient_id}.png")
+        return 0
+
+    if args.cmd == "predict":
+        import jax.numpy as jnp
+        import numpy as np
+        from dose_prediction_tpu.core.checkpoint import restore_checkpoint
+        from dose_prediction_tpu.data.nifti import write_nifti
+
+        ds = OpenKBPDataset(args.data, size=args.size)
+        cfg = make_cfg()
+        trainer = PyferTrainer(cfg, model=pyfer_model(),
+                               example_shape=(1, *ds.patients[0].ct.shape, 9))
+        restored = restore_checkpoint(args.ckpt, {"state": trainer.state, "epoch": 0})
+        trainer.state = restored["state"]
+        out_root = Path(args.out_dir)
+        for p in ds.patients:
+            batch = {"input": jnp.asarray(p.model_input[None]),
+                     "gt": jnp.asarray(p.gt[None])}
+            pred = np.asarray(
+                trainer.eval_step(trainer.state, batch)["prediction"])[0, ..., 0]
+            out = out_root / p.patient_id
+            out.mkdir(parents=True, exist_ok=True)
+            write_nifti(out / "dose.nii.gz", pred, spacing=p.spacing)
+            print(f"wrote {out / 'dose.nii.gz'}")
         return 0
 
     if args.cmd == "infer":

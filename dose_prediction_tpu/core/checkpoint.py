@@ -24,6 +24,12 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# in-flight async 'last'-slot writers by path (same-process synchronization
+# across CheckpointManager instances; cross-process safety comes from orbax's
+# tmp-dir + atomic rename)
+_LAST_INFLIGHT: Dict[str, Any] = {}
+
+
 # ---------------------------------------------------------------------------
 # orbax save / restore
 # ---------------------------------------------------------------------------
@@ -64,23 +70,60 @@ class CheckpointManager:
             best_mode=mode,
         )
         self._mgr = ocp.CheckpointManager(directory / "monitored", options=options)
+        self._last_ckptr: Optional[ocp.AsyncCheckpointer] = None
+        # drain in-flight async writes before interpreter teardown — orbax's
+        # background commit threads cannot schedule futures once the default
+        # executor shuts down (registered here so the monitored manager's
+        # async saves are covered too)
+        import atexit
+
+        atexit.register(self._drain)
 
     def save(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
+        """Monitored save. Async: the write proceeds while training continues
+        (orbax serializes device arrays to host first, so the tree can keep
+        mutating); readers (restore_*/close) synchronize."""
         self._mgr.save(step, args=ocp.args.PyTreeSave(tree), metrics=metrics)
-        self._mgr.wait_until_finished()
 
     # -- crash-resume slot (save_last=True / NetworkTrainer 'latest' parity:
     #    train_light_pyfer.py:307-312, network_trainer.py:305-313) ----------
     def save_last(self, tree: Any) -> None:
-        """Overwrite the single rotating 'last' slot (every-epoch crash
-        resume; orbax writes to a tmp dir and renames, so it's atomic)."""
-        save_checkpoint(self._dir / "last", tree, force=True)
+        """Overwrite the single rotating 'last' slot. Async with depth 1: the
+        previous epoch's write finishes (tmp-dir + atomic rename) while this
+        epoch trains — the save latency leaves the critical path. The
+        device→host copy happens inside save() (orbax async contract), so the
+        caller may keep donating/mutating the state."""
+        if self._last_ckptr is None:
+            self._last_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        self._last_ckptr.wait_until_finished()   # at most one in flight
+        self._last_ckptr.save(self._dir / "last", args=ocp.args.PyTreeSave(tree),
+                              force=True)
+        # same-process readers (even via a different manager instance) must be
+        # able to synchronize with this write
+        _LAST_INFLIGHT[str(self._dir / "last")] = self._last_ckptr
 
     def restore_last(self, target: Optional[Any] = None) -> Any:
         path = self._dir / "last"
+        inflight = _LAST_INFLIGHT.get(str(path))
+        if inflight is not None:
+            inflight.wait_until_finished()
         if not path.exists():
             return None
         return restore_checkpoint(path, target)
+
+    def wait(self) -> None:
+        """Block until every async save issued by this manager is durable."""
+        if self._last_ckptr is not None:
+            self._last_ckptr.wait_until_finished()
+        self._mgr.wait_until_finished()
+
+    def _drain(self) -> None:
+        try:
+            if self._last_ckptr is not None:
+                self._last_ckptr.wait_until_finished()
+            self._mgr.wait_until_finished()
+        except Exception:
+            pass
 
     def _legacy_steps(self) -> list:
         """Numeric step dirs written by the pre-round-2 layout (<dir>/<step>/
@@ -93,6 +136,7 @@ class CheckpointManager:
         return sorted(out)
 
     def restore_latest(self, target: Optional[Any] = None) -> Tuple[Optional[int], Any]:
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             legacy = self._legacy_steps()
@@ -106,6 +150,7 @@ class CheckpointManager:
         return step, self._mgr.restore(step, args=args)
 
     def restore_best(self, target: Optional[Any] = None) -> Tuple[Optional[int], Any]:
+        self._mgr.wait_until_finished()
         step = self._mgr.best_step()
         if step is None:
             return None, None
@@ -113,6 +158,9 @@ class CheckpointManager:
         return step, self._mgr.restore(step, args=args)
 
     def close(self):
+        if self._last_ckptr is not None:
+            self._last_ckptr.close()
+            self._last_ckptr = None
         self._mgr.close()
 
 

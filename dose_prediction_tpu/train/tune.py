@@ -160,6 +160,76 @@ class TPESampler:
 
 
 # ---------------------------------------------------------------------------
+# GP expected improvement — the BayesOptSearch analogue
+# ---------------------------------------------------------------------------
+
+class GPSampler:
+    """BayesOptSearch analogue (tune_light_pyfer.py:75-84): a Gaussian-process
+    surrogate with an RBF kernel over the normalized search space (log-scale
+    for LogUniform, one-hot for Choice) suggesting the candidate that
+    maximizes expected improvement over ``n_candidates`` random draws. Random
+    until ``n_startup`` trials have completed. Pure numpy (the GP is over tens
+    of trials — O(n³) is nothing)."""
+
+    def __init__(self, *, n_candidates: int = 128, n_startup: int = 4,
+                 length_scale: float = 0.25, noise: float = 1e-4,
+                 xi: float = 0.01, mode: str = "min", seed: int = 0):
+        self.n_candidates = n_candidates
+        self.n_startup = n_startup
+        self.length_scale = length_scale
+        self.noise = noise
+        self.xi = xi
+        self.mode = mode
+        self.rng = np.random.default_rng(seed)
+
+    def _featurize(self, space: Dict[str, Any], cfg: Dict[str, Any]) -> np.ndarray:
+        feats: List[float] = []
+        for k, dist in space.items():
+            if isinstance(dist, LogUniform):
+                lo, hi = math.log(dist.low), math.log(dist.high)
+                feats.append((math.log(cfg[k]) - lo) / (hi - lo))
+            elif isinstance(dist, Uniform):
+                feats.append((cfg[k] - dist.low) / (dist.high - dist.low))
+            elif isinstance(dist, Choice):
+                feats.extend(1.0 if cfg[k] == o else 0.0 for o in dist.options)
+            # fixed values carry no information
+        return np.asarray(feats)
+
+    def _kernel(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / self.length_scale**2)
+
+    def suggest(self, space: Dict[str, Any],
+                history: List[Tuple[Dict[str, Any], float]]) -> Dict[str, Any]:
+        done = [(c, v) for c, v in history if not math.isnan(v)]
+        if len(done) < self.n_startup:
+            return sample_config(space, self.rng)
+        X = np.stack([self._featurize(space, c) for c, _ in done])
+        y = np.asarray([v for _, v in done], np.float64)
+        if self.mode == "max":
+            y = -y                         # GP always minimizes internally
+        mu_y, sd_y = y.mean(), max(y.std(), 1e-12)
+        y = (y - mu_y) / sd_y
+        K = self._kernel(X, X) + self.noise * np.eye(len(X))
+        Kinv_y = np.linalg.solve(K, y)
+        Kinv = np.linalg.inv(K)
+        best = y.min()
+
+        cands = [sample_config(space, self.rng) for _ in range(self.n_candidates)]
+        Xc = np.stack([self._featurize(space, c) for c in cands])
+        Ks = self._kernel(Xc, X)                       # (m, n)
+        mu = Ks @ Kinv_y
+        var = np.clip(1.0 - np.einsum("mn,nk,mk->m", Ks, Kinv, Ks), 1e-12, None)
+        sd = np.sqrt(var)
+        z = (best - self.xi - mu) / sd
+        # EI = (best - xi - mu)·Φ(z) + sd·φ(z), via erf (no scipy dependency)
+        phi = np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+        Phi = 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2)))
+        ei = (best - self.xi - mu) * Phi + sd * phi
+        return cands[int(np.argmax(ei))]
+
+
+# ---------------------------------------------------------------------------
 # ASHA (asynchronous successive halving)
 # ---------------------------------------------------------------------------
 
@@ -253,6 +323,83 @@ class PopulationBasedScheduler:
             t.config = new_cfg
 
 
+class PB2Scheduler(PopulationBasedScheduler):
+    """GP-bandit PB2 (Parker-Holder et al. 2020; the Ray PB2 the reference
+    configures, tune_light_pyfer.py:124-145). Exploit copies a top performer's
+    weights/config like PBT, but EXPLORE selects the continuous hyperparameters
+    by GP-UCB fitted on the population's (config → metric improvement) history
+    instead of a random ×0.8/×1.25 perturbation."""
+
+    def __init__(self, *, bounds: Dict[str, Tuple[float, float]],
+                 ucb_kappa: float = 1.5, length_scale: float = 0.25,
+                 noise: float = 1e-4, n_candidates: int = 64, **kw):
+        super().__init__(bounds=bounds, **kw)
+        self.kappa = ucb_kappa
+        self.length_scale = length_scale
+        self.noise = noise
+        self.n_candidates = n_candidates
+        # (feature vector, observed improvement) pairs across the population
+        self._data: List[Tuple[np.ndarray, float]] = []
+        self._last: Dict[int, float] = {}
+
+    def _feat(self, cfg: Dict[str, Any]) -> np.ndarray:
+        out = []
+        for k in sorted(self.bounds):
+            lo, hi = self.bounds[k]
+            lo, hi = math.log(lo), math.log(hi)
+            out.append((math.log(max(cfg[k], 1e-300)) - lo) / (hi - lo))
+        return np.asarray(out)
+
+    def observe(self, trials: List[Trial]) -> None:
+        """Record each trial's metric improvement since the last interval
+        (the GP's reward signal). Call once per perturbation interval, before
+        exploit_explore."""
+        for t in trials:
+            prev = self._last.get(t.trial_id)
+            if prev is not None and not math.isnan(t.last_value):
+                delta = prev - t.last_value if self.mode == "min" else t.last_value - prev
+                self._data.append((self._feat(t.config), float(delta)))
+            self._last[t.trial_id] = t.last_value
+
+    def _gp_ucb_choose(self, cands: List[Dict[str, Any]]) -> Dict[str, Any]:
+        if len(self._data) < 3:
+            return cands[int(self.rng.integers(len(cands)))]
+        X = np.stack([x for x, _ in self._data])
+        y = np.asarray([v for _, v in self._data], np.float64)
+        y = (y - y.mean()) / max(y.std(), 1e-12)
+
+        def kern(a, b):
+            d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            return np.exp(-0.5 * d2 / self.length_scale**2)
+
+        K = kern(X, X) + self.noise * np.eye(len(X))
+        Kinv = np.linalg.inv(K)
+        Xc = np.stack([self._feat(c) for c in cands])
+        Ks = kern(Xc, X)
+        mu = Ks @ (Kinv @ y)
+        var = np.clip(1.0 - np.einsum("mn,nk,mk->m", Ks, Kinv, Ks), 1e-12, None)
+        ucb = mu + self.kappa * np.sqrt(var)
+        return cands[int(np.argmax(ucb))]
+
+    def exploit_explore(self, trials: List[Trial]) -> None:
+        self.observe(trials)
+        ranked = sorted(trials, key=lambda t: t.last_value,
+                        reverse=(self.mode == "max"))
+        n_q = max(1, int(len(ranked) * self.quantile))
+        top, bottom = ranked[:n_q], ranked[-n_q:]
+        for t in bottom:
+            src = top[int(self.rng.integers(len(top)))]
+            base = dict(src.config)
+            # candidate set: log-uniform draws inside the bounds (GP picks)
+            cands = []
+            for _ in range(self.n_candidates):
+                c = dict(base)
+                for k, (lo, hi) in self.bounds.items():
+                    c[k] = float(np.exp(self.rng.uniform(np.log(lo), np.log(hi))))
+                cands.append(c)
+            t.config = self._gp_ucb_choose(cands)
+
+
 def run_pbt(
     train_epoch: Callable[[Dict[str, Any], Any, int], Tuple[Any, float]],
     init_trial_state: Callable[[Dict[str, Any]], Any],
@@ -296,7 +443,7 @@ def run_search(
     seed: int = 0,
     mode: str = "min",
     out_dir: Optional[str] = None,
-    sampler: str = "random",          # 'random' | 'tpe'
+    sampler: str = "random",          # 'random' | 'tpe' | 'gp'
     max_concurrent: int = 1,
 ) -> Dict[str, Any]:
     """Run the search.
@@ -305,7 +452,8 @@ def run_search(
     it must call ``report(epoch, value)`` each validation round and abort when
     report returns True (early-stopped by ASHA).
 
-    ``sampler='tpe'`` uses the TPESampler (OptunaSearch analogue) seeded from
+    ``sampler='tpe'`` uses the TPESampler (OptunaSearch analogue) and
+    ``sampler='gp'`` the GPSampler (BayesOptSearch analogue), each seeded from
     completed trials. ``max_concurrent>1`` runs that many trials in parallel
     threads, each pinned round-robin to a jax device — one trial per device
     sub-slice, the RayStrategy(num_workers) analogue (tune_light_pyfer.py:36).
@@ -315,15 +463,17 @@ def run_search(
     space = space if space is not None else PYFER_SEARCH_SPACE
     scheduler = scheduler or ASHAScheduler(mode=mode)
     rng = np.random.default_rng(seed)
-    tpe = TPESampler(mode=mode, seed=seed) if sampler == "tpe" else None
+    searcher = {"tpe": lambda: TPESampler(mode=mode, seed=seed),
+                "gp": lambda: GPSampler(mode=mode, seed=seed),
+                "random": lambda: None}[sampler]()
     lock = threading.Lock()                 # ASHA rungs + history are shared
     history: List[Tuple[Dict[str, Any], float]] = []
     trials: List[Trial] = []
 
     def next_config() -> Dict[str, Any]:
         with lock:
-            if tpe is not None:
-                return tpe.suggest(space, history)
+            if searcher is not None:
+                return searcher.suggest(space, history)
             return sample_config(space, rng)
 
     def run_one(i: int, device=None) -> Trial:

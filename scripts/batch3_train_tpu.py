@@ -38,10 +38,14 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--shape", type=int, default=128)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="use the float32 feed instead of packed (control for "
+                         "compile-helper failures)")
     args = ap.parse_args()
 
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
     from dose_prediction_tpu.data.packed import packed_dose_batches
+    from dose_prediction_tpu.data.pipeline import dose_batches
     from dose_prediction_tpu.data.synthetic import make_synthetic_dataset
     from dose_prediction_tpu.models import DosePyfer
     from dose_prediction_tpu.train import state as S
@@ -65,16 +69,24 @@ def main() -> int:
         learning_rate=1e-4,
         freeze_labels=S.cascade_freeze_labels(variables["params"]))
     state = S.create_train_state(variables, tx)
-    step = STEP.make_pyfer_train_step(model, tx, freeze=True, packed=True)
+    step = STEP.make_pyfer_train_step(model, tx, freeze=True,
+                                      packed=not args.f32)
+
+    def epoch_batches(epoch):
+        if args.f32:
+            return dose_batches(ds, batch_size=args.batch, seed=epoch,
+                                drop_last=True)
+        return packed_dose_batches(ds, batch_size=args.batch, seed=epoch,
+                                   drop_last=True)
 
     t0 = time.perf_counter()
-    result = {"batch": args.batch, "remat_blocks": remat, "ok": False}
+    result = {"batch": args.batch, "remat_blocks": remat,
+              "packed": not args.f32, "ok": False}
     try:
         n = 0
         first_done = None
         for epoch in range(32):
-            for batch in packed_dose_batches(ds, batch_size=args.batch,
-                                             seed=epoch, drop_last=True):
+            for batch in epoch_batches(epoch):
                 state, loss = step(state, batch)
                 if first_done is None:
                     result["first_step_plus_compile_s"] = round(

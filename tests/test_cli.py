@@ -34,6 +34,69 @@ def test_parser_new_flags():
     assert args.sampler == "tpe" and args.max_concurrent == 4
 
 
+def test_parser_round3_flags():
+    ap = build_parser()
+    args = ap.parse_args(["train", "c3d", "--data", "x", "--lr-encoder", "0.1",
+                          "--lr-decoder", "0.001", "--scheduler", "cosine",
+                          "--t-max", "100", "--feed-dtype", "packed",
+                          "--remat-blocks"])
+    assert args.lr_encoder == 0.1 and args.lr_decoder == 0.001
+    assert args.scheduler == "cosine" and args.t_max == 100
+    assert args.feed_dtype == "packed" and args.remat_blocks
+    args = ap.parse_args(["train", "c3d", "--data", "x", "--scheduler",
+                          "multistep", "--milestones", "100", "200",
+                          "--gamma", "0.5"])
+    assert args.milestones == [100, 200] and args.gamma == 0.5
+    args = ap.parse_args(["train", "transeg", "--data", "x", "--private-data"])
+    assert args.private_data
+    args = ap.parse_args(["tune", "--data", "x", "--sampler", "gp"])
+    assert args.sampler == "gp"
+    args = ap.parse_args(["predict", "--data", "x", "--ckpt", "c",
+                          "--out-dir", "o"])
+    assert args.cmd == "predict" and args.out_dir == "o"
+
+
+@pytest.mark.slow
+def test_cli_predict_writes_nifti(tmp_path):
+    """predict subcommand: train 2 steps, dump per-patient dose.nii.gz, and
+    the directory scorer consumes the layout."""
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2, shape=(16, 16, 16))
+    from dose_prediction_tpu.cli.main import main
+
+    rc = main(["train", "pyfer", "--data", pattern, "--epochs", "1",
+               "--max-steps", "2", "--model-size", "small", "--check-val", "1",
+               "--val-data", pattern,
+               "--ckpt-dir", str(tmp_path / "ckpt"), "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    rc = main(["predict", "--data", pattern, "--ckpt",
+               str(tmp_path / "ckpt" / "last"), "--model-size", "small",
+               "--out-dir", str(tmp_path / "preds"),
+               "--ckpt-dir", str(tmp_path / "ckpt2"), "--log-dir", str(tmp_path / "logs2")])
+    assert rc == 0
+    outs = sorted((tmp_path / "preds").glob("*/dose.nii.gz"))
+    assert len(outs) == 2
+
+
+@pytest.mark.slow
+def test_cli_train_c3d_scheduler_and_packed(tmp_path):
+    """CLI vertical with the round-3 flags: packed feed + cosine schedule +
+    split encoder/decoder LRs reach a finite loss."""
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2, shape=(16, 16, 16))
+    from dose_prediction_tpu.cli.main import main
+
+    rc = main([
+        "train", "c3d", "--data", pattern, "--epochs", "1", "--max-steps", "2",
+        "--batch-size", "1", "--feed-dtype", "packed", "--scheduler", "cosine",
+        "--t-max", "10", "--lr-encoder", "1e-3", "--lr-decoder", "1e-4",
+        "--ckpt-dir", str(tmp_path / "ckpt"), "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    metrics = [json.loads(line) for line in
+               (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    losses = [m["train_mean_loss"] for m in metrics if "train_mean_loss" in m]
+    assert losses and np.isfinite(losses[-1])
+
+
 @pytest.mark.slow
 def test_cli_tune_asha_early_stops(tmp_path):
     """The CLI tune path: report wired through fit(on_validation); with a
@@ -45,7 +108,7 @@ def test_cli_tune_asha_early_stops(tmp_path):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = main([
-            "tune", "--data", pattern, "--num-samples", "4", "--epochs", "4",
+            "tune", "--data", pattern, "--num-samples", "8", "--epochs", "4",
             "--check-val", "1", "--grace-period", "1", "--sampler", "random",
             "--model-size", "small",
             "--ckpt-dir", str(tmp_path / "ckpt"), "--log-dir", str(tmp_path / "logs"),

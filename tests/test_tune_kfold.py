@@ -123,6 +123,42 @@ def test_tpe_beats_random_on_quadratic():
     assert tpe_wins >= 3
 
 
+def test_gp_sampler_beats_random_on_quadratic():
+    """GPSampler (BayesOptSearch analogue): on f(lr)=(log lr - log 1e-2)² the
+    GP-EI best-found should beat random with the same budget."""
+    space = {"lr": LogUniform(1e-5, 1e0), "act": Choice(["relu", "mish"])}
+
+    def f(cfg):
+        return (np.log(cfg["lr"]) - np.log(1e-2)) ** 2 + (cfg["act"] == "relu") * 0.1
+
+    def run(sampler_kind, seed):
+        def train_trial(config, report):
+            return f(config)
+        res = run_search(train_trial, space=space, num_samples=25,
+                         sampler=sampler_kind, seed=seed, mode="min")
+        return res["best_value"]
+
+    gp_wins = sum(run("gp", s) <= run("random", s) for s in range(5))
+    assert gp_wins >= 3
+
+
+def test_gp_suggest_respects_bounds_and_types():
+    from dose_prediction_tpu.train.tune import GPSampler, Uniform
+
+    space = {"lr": LogUniform(1e-4, 1e-1), "u": Uniform(0.0, 1.0),
+             "act": Choice(["a", "b"]), "fixed": 5}
+    gp = GPSampler(n_startup=2, seed=0)
+    history = [({"lr": 1e-3, "u": 0.5, "act": "a", "fixed": 5}, 1.0),
+               ({"lr": 1e-2, "u": 0.2, "act": "b", "fixed": 5}, 0.5),
+               ({"lr": 5e-3, "u": 0.9, "act": "b", "fixed": 5}, 0.7)]
+    for _ in range(10):
+        cfg = gp.suggest(space, history)
+        assert 1e-4 <= cfg["lr"] <= 1e-1
+        assert 0.0 <= cfg["u"] <= 1.0
+        assert cfg["act"] in ("a", "b")
+        assert cfg["fixed"] == 5
+
+
 def test_tpe_suggest_respects_bounds_and_types():
     from dose_prediction_tpu.train.tune import TPESampler
 
@@ -166,6 +202,33 @@ def test_concurrent_trials_run_and_aggregate():
     assert len(res["trials"]) == 8
     assert len(set(rendezvoused)) == 2   # two distinct threads met at the barrier
     assert res["best_value"] == min(t["last_value"] for t in res["trials"])
+
+
+def test_pb2_gp_bandit_improves_population():
+    """PB2Scheduler (GP-bandit explore): the population converges toward the
+    metric optimum within the bounds."""
+    from dose_prediction_tpu.train.tune import PB2Scheduler
+
+    def init_state(cfg):
+        return {}
+
+    def train_epoch(cfg, st, epoch):
+        # optimum at lr=1e-2; metric = squared log distance
+        return st, (np.log(cfg["lr"]) - np.log(1e-2)) ** 2
+
+    res = run_pbt(train_epoch, init_state,
+                  space={"lr": LogUniform(1e-4, 1.0)},
+                  scheduler=PB2Scheduler(
+                      population=6, perturbation_interval=2, seed=0,
+                      bounds={"lr": (1e-4, 1.0)}),
+                  num_epochs=20)
+    values = [t["last_value"] for t in res["trials"]]
+    assert res["best_value"] == min(values)
+    # the bandit found a config well inside the bowl at some point
+    all_history = [v for t in res["trials"] for v in t["history"]]
+    assert min(all_history) < 2.0
+    # and exploration actually changed configs away from the initial draws
+    assert len({round(t["config"]["lr"], 10) for t in res["trials"]}) > 1
 
 
 def test_pbt_improves_population():
