@@ -96,7 +96,8 @@ class VitGANTrainer:
     def __init__(self, cfg, *, generator: Optional[VitGenerator] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
                  unfreeze_epoch: int = 10, delta3: float = 0.01,
-                 val_scale: float = 80.0):
+                 val_scale: float = 80.0, init_type: Optional[str] = None,
+                 init_gain: float = 0.02):
         from dose_prediction_tpu.core import checkpoint as C
         from dose_prediction_tpu.infer.sliding_window import make_sliding_window_fn
 
@@ -110,6 +111,17 @@ class VitGANTrainer:
         dx = jnp.zeros((*example_shape[:-1], 1), jnp.float32)
         g_vars = jax.jit(self.gen.init)(jax.random.PRNGKey(cfg.seed), gx)
         d_vars = jax.jit(self.disc.init)(jax.random.PRNGKey(cfg.seed + 1), dx)
+        if init_type is not None:
+            # pix2pix-style re-init of BOTH nets (init_weights,
+            # train_light_gan.py:145-146)
+            from dose_prediction_tpu.nn.init import reinit_weights
+
+            g_vars = {**g_vars, "params": reinit_weights(
+                g_vars["params"], jax.random.PRNGKey(cfg.seed + 2),
+                init_type=init_type, init_gain=init_gain)}
+            d_vars = {**d_vars, "params": reinit_weights(
+                d_vars["params"], jax.random.PRNGKey(cfg.seed + 3),
+                init_type=init_type, init_gain=init_gain)}
         self.g_tx = S.make_optimizer(learning_rate=cfg.learning_rate,
                                      weight_decay=cfg.weight_decay)
         self.d_tx = S.make_optimizer(learning_rate=cfg.learning_rate)
