@@ -49,16 +49,20 @@ DOSE_SCALE = 70.0
 
 @dataclass
 class Patient:
-    """One preprocessed patient; all arrays are (D, H, W[, C]) float32."""
+    """One preprocessed patient, (D, H, W[, C]) arrays. Scalar volumes are
+    float32; binary masks (oars, structures) are cached as uint8 — at 200
+    patients × 128³ the f32-mask cache alone is ~12 GB of host RAM for
+    information that is one bit per voxel. Consumers that need floats get
+    them through the model_input/gt properties (astype on the way out)."""
 
     patient_id: str
-    ct: np.ndarray                       # (D,H,W) normalized
-    ptv: np.ndarray                      # (D,H,W) weighted PTV channel
-    oars: np.ndarray                     # (D,H,W,7) binary masks
-    dose: np.ndarray                     # (D,H,W) ÷70 normalized
-    real_dose: np.ndarray                # (D,H,W) in Gy
-    dose_mask: np.ndarray                # (D,H,W) possible_dose_mask
-    structures: Dict[str, np.ndarray]    # raw masks for DVH eval
+    ct: np.ndarray                       # (D,H,W) normalized f32
+    ptv: np.ndarray                      # (D,H,W) weighted PTV channel f32
+    oars: np.ndarray                     # (D,H,W,7) binary masks, uint8
+    dose: np.ndarray                     # (D,H,W) ÷70 normalized f32
+    real_dose: np.ndarray                # (D,H,W) in Gy f32
+    dose_mask: np.ndarray                # (D,H,W) possible_dose_mask f32
+    structures: Dict[str, np.ndarray]    # raw masks for DVH eval, uint8
     spacing: Sequence[float]
 
     @property
@@ -121,20 +125,26 @@ def load_patient(patient_dir: str, *, keep_structures: bool = True) -> Patient:
     shape = ct.shape
 
     structures: Dict[str, np.ndarray] = {}
-    oars = np.zeros((*shape, len(OAR_NAMES)), np.float32)
+    oars = np.zeros((*shape, len(OAR_NAMES)), np.uint8)
     for i, name in enumerate(OAR_NAMES):
         v = vol(name)
         if v is not None:
-            oars[..., i] = v
+            if not np.isin(v, (0.0, 1.0)).all():
+                # OpenKBP masks are {0,1}; a non-binary file would be fed
+                # verbatim by the reference — surface it instead of silently
+                # truncating into the uint8 cache
+                print(f"[openkbp] WARNING: {name} mask of {pdir.name} has "
+                      f"non-binary values; thresholding at >0")
+            oars[..., i] = v > 0
             if keep_structures:
-                structures[name] = v.astype(np.float32)
+                structures[name] = (v > 0).astype(np.uint8)
     ptvs = {}
     for name in PTV_NAMES:
         v = vol(name)
         if v is not None:
             ptvs[name] = v
             if keep_structures:
-                structures[name] = v.astype(np.float32)
+                structures[name] = (v > 0).astype(np.uint8)
 
     ptv = np.zeros(shape, np.float32)
     for name, weight in (("PTV70", 70.0), ("PTV63", 63.0), ("PTV56", 56.0)):

@@ -197,9 +197,19 @@ def hausdorff95(pred: np.ndarray, gt: np.ndarray,
     g = gt > 0
     if not p.any() or not g.any():
         return float("nan")
-    # surface = set minus erosion
+    # surface = set minus erosion (computed on the FULL arrays so masks at a
+    # crop boundary don't grow phantom surfaces)
     p_surf = p ^ ndimage.binary_erosion(p)
     g_surf = g ^ ndimage.binary_erosion(g)
+    # EDT only inside the joint surface bounding box: every source and every
+    # nearest-target voxel lives in it, so the cropped distances are EXACT —
+    # and a 30³ OAR in a 128³ volume pays 30³ EDT cost instead of 128³
+    # (the host-side seg-validation hot spot).
+    union = p_surf | g_surf
+    nz = np.nonzero(union)
+    slices = tuple(slice(int(i.min()), int(i.max()) + 1) for i in nz)
+    p_surf = p_surf[slices]
+    g_surf = g_surf[slices]
     sampling = None if spacing is None else tuple(spacing)
     # distance from every voxel to the nearest surface voxel of the other set
     dt_g = ndimage.distance_transform_edt(~g_surf, sampling=sampling)

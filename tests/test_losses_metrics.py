@@ -170,6 +170,38 @@ def test_dice_and_hd95():
     assert 0.0 < M.hausdorff95(a, b2) <= 2.0
 
 
+def test_hd95_bbox_crop_is_exact(rng):
+    """The bbox-cropped EDT (host seg-val hot-spot fix) equals the
+    full-volume computation exactly, including edge-touching masks and
+    anisotropic spacing."""
+    from scipy import ndimage
+
+    def full_volume_ref(pred, gt, spacing=None):
+        p, g = pred > 0, gt > 0
+        p_surf = p ^ ndimage.binary_erosion(p)
+        g_surf = g ^ ndimage.binary_erosion(g)
+        s = None if spacing is None else tuple(spacing)
+        dt_g = ndimage.distance_transform_edt(~g_surf, sampling=s)
+        dt_p = ndimage.distance_transform_edt(~p_surf, sampling=s)
+        return float(max(np.percentile(dt_g[p_surf], 95),
+                         np.percentile(dt_p[g_surf], 95)))
+
+    zz, yy, xx = np.mgrid[:48, :48, :48]
+    for trial in range(4):
+        c1 = rng.integers(12, 36, 3)
+        c2 = c1 + rng.integers(-6, 6, 3)
+        p = (zz - c1[0]) ** 2 + (yy - c1[1]) ** 2 + (xx - c1[2]) ** 2 < 60
+        g = (zz - c2[0]) ** 2 + (yy - c2[1]) ** 2 + (xx - c2[2]) ** 2 < 60
+        sp = (1.0, 1.2, 0.9)
+        assert M.hausdorff95(p, g, sp) == pytest.approx(full_volume_ref(p, g, sp))
+    # masks touching the volume edge
+    p = np.zeros((32, 32, 32), bool)
+    g = np.zeros((32, 32, 32), bool)
+    p[0:4, 0:4, 0:4] = True
+    g[28:32, 28:32, 28:32] = True
+    assert M.hausdorff95(p, g) == pytest.approx(full_volume_ref(p, g))
+
+
 def test_dvh_score_for_patient(rng):
     shape = (16, 16, 16)
     gt = np.abs(rng.standard_normal(shape)).astype(np.float32) * 70
