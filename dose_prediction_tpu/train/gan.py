@@ -95,9 +95,13 @@ class VitGANTrainer:
 
     def __init__(self, cfg, *, generator: Optional[VitGenerator] = None,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
-                 unfreeze_epoch: int = 10, delta3: float = 0.01,
+                 unfreeze_epoch: int = 10, delta3: float = 2.0,
+                 g_lr: float = 1e-4, d_lr: float = 5e-3,
                  val_scale: float = 80.0, init_type: Optional[str] = None,
                  init_gain: float = 0.02):
+        # reference defaults: delta3=2, G_lr=10e-5, D_lr=5·10e-4, Adam8bit
+        # optimizers (train_light_gan.py:104-107,250-251; cfg.optimizer
+        # selects adam8bit here too)
         from dose_prediction_tpu.core import checkpoint as C
         from dose_prediction_tpu.infer.sliding_window import make_sliding_window_fn
 
@@ -122,9 +126,8 @@ class VitGANTrainer:
             d_vars = {**d_vars, "params": reinit_weights(
                 d_vars["params"], jax.random.PRNGKey(cfg.seed + 3),
                 init_type=init_type, init_gain=init_gain)}
-        self.g_tx = S.make_optimizer(learning_rate=cfg.learning_rate,
-                                     weight_decay=cfg.weight_decay)
-        self.d_tx = S.make_optimizer(learning_rate=cfg.learning_rate)
+        self.g_tx = S.make_optimizer(learning_rate=g_lr, kind=cfg.optimizer)
+        self.d_tx = S.make_optimizer(learning_rate=d_lr, kind=cfg.optimizer)
         self.g_state = S.create_train_state(g_vars, self.g_tx)
         self.d_state = S.create_train_state(d_vars, self.d_tx)
         self.step = make_vitgan_train_step(self.gen, self.disc, self.g_tx, self.d_tx,
@@ -155,16 +158,26 @@ class VitGANTrainer:
         the blended output + masked MAE ×80 → mean_dose_score."""
         from dose_prediction_tpu.evaluation import metrics as M
 
+        from dose_prediction_tpu.infer.pipeline import pipeline_map
+
         run = self._sw_run(sw_batch_size)
         variables = {"params": self.g_state.params,
                      "batch_stats": self.g_state.batch_stats}
         scores, vlosses = [], []
-        for p in val_ds.patients:
+
+        def produce(p):
             pred_dev = run(jnp.asarray(p.model_input[None]), variables)
-            vlosses.append(float(self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))))
+            return p, pred_dev, self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))
+
+        def consume(staged):
+            p, pred_dev, vloss = staged
+            vlosses.append(float(vloss))
             pred = np.asarray(pred_dev)[0, ..., 0]
             post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
             scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
+
+        for _ in pipeline_map(produce, consume, val_ds.patients):
+            pass
         return {"mean_dose_score": -float(np.mean(scores)),
                 "val_loss": float(np.mean(vlosses))}
 

@@ -68,11 +68,23 @@ class LinkedModel:
     def evaluate(self, ds: OpenKBPDataset, *, log_dir: Optional[str] = None,
                  plots_dir: Optional[str] = None, with_ivs: bool = True) -> Dict:
         """The reference test loop (:138-228): per-patient dose/DVH/IVS, DVH
-        plots and slice error maps when ``plots_dir`` is given."""
+        plots and slice error maps when ``plots_dir`` is given. Software-
+        pipelined: patient i+1's cascade is dispatched before patient i's
+        prediction is read for host scoring."""
+        from dose_prediction_tpu.infer.pipeline import pipeline_map
+
         dose_scores, dvh_scores, ivs_curves = [], [], []
         per_patient: Dict[str, Dict] = {}
-        for p in ds.patients:
-            pred = self.predict_patient(p)
+
+        def produce(p):
+            return p, self.run(
+                jnp.asarray(p.ct[None, ..., None]),
+                jnp.asarray(p.ptv[None, ..., None]),
+                jnp.asarray(p.dose_mask[None, ..., None]))
+
+        def consume(staged):
+            p, out = staged
+            pred = np.asarray(out)[0, ..., 0]
             score = M.dose_score(pred, p.real_dose, p.dose_mask)
             dvh = M.dvh_score_for_patient(pred, p.real_dose, p.structures, p.spacing)
             dose_scores.append(score)
@@ -87,6 +99,9 @@ class LinkedModel:
                          Path(plots_dir) / f"dvh_{p.patient_id}.png")
                 save_slice_triptychs(pred, p.real_dose,
                                      Path(plots_dir) / p.patient_id, every=8)
+
+        for _ in pipeline_map(produce, consume, ds.patients):
+            pass
         results = {
             "mean_dose_score": float(np.mean(dose_scores)),
             "std_dose_score": float(np.std(dose_scores)),

@@ -625,20 +625,32 @@ class TranSegTrainer:
         loss the reference's checkpoint monitor watches
         (train_light_transeg.py:205-242: val_loss is computed on the
         sliding-window outputs, not on the training crops)."""
+        from dose_prediction_tpu.infer.pipeline import pipeline_map
+
         run = self._sw_run(sw_batch_size)
         val_loss_fn = self._val_loss_fn
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         dices, hds, vlosses = [], [], []
-        for p in val_ds.patients:
-            logits = run(jnp.asarray(p.ct[None, ..., None]), variables)
+
+        def produce(p):
+            # device work dispatched async; only labels (int) and the loss
+            # scalar ever cross to the host
             gt_labels = np.asarray(p.oars_label_encoded)
-            vlosses.append(float(val_loss_fn(
-                logits, jnp.asarray(gt_labels[None], jnp.int32))))
-            pred_labels = np.asarray(jnp.argmax(logits, axis=-1))[0]
-            d, h = M.seg_metrics_per_class(pred_labels, gt_labels,
+            logits = run(jnp.asarray(p.ct[None, ..., None]), variables)
+            vloss = val_loss_fn(logits, jnp.asarray(gt_labels[None], jnp.int32))
+            return p, gt_labels, jnp.argmax(logits, axis=-1), vloss
+
+        def consume(staged):
+            # host metrics for patient i overlap patient i+1's sweep
+            p, gt_labels, labels_dev, vloss = staged
+            vlosses.append(float(vloss))
+            d, h = M.seg_metrics_per_class(np.asarray(labels_dev)[0], gt_labels,
                                            self.num_classes, p.spacing)
             dices.append(np.nanmean(d))
             hds.append(np.nanmean(h))
+
+        for _ in pipeline_map(produce, consume, val_ds.patients):
+            pass
         return (float(np.nanmean(dices)), float(np.nanmean(hds)),
                 float(np.mean(vlosses)))
 
@@ -775,15 +787,25 @@ class ExpModelTrainer:
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4) -> Dict[str, float]:
         """Sliding-window val (train_light_exp_models.py:218-247): GenLoss val
         loss on the blended output + masked MAE × val_scale → mean_dose_score."""
+        from dose_prediction_tpu.infer.pipeline import pipeline_map
+
         run = self._sw_run(sw_batch_size)
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         scores, vlosses = [], []
-        for p in val_ds.patients:
+
+        def produce(p):
             pred_dev = run(jnp.asarray(p.model_input[None]), variables)
-            vlosses.append(float(self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))))
+            return p, pred_dev, self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))
+
+        def consume(staged):
+            p, pred_dev, vloss = staged
+            vlosses.append(float(vloss))
             pred = np.asarray(pred_dev)[0, ..., 0]
             post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
             scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
+
+        for _ in pipeline_map(produce, consume, val_ds.patients):
+            pass
         return {"mean_dose_score": -float(np.mean(scores)),
                 "val_loss": float(np.mean(vlosses))}
 
@@ -811,7 +833,9 @@ class DoseGANTrainer:
 
     def __init__(self, cfg: TrainConfig, *, ngf: int = 64, ndf: int = 64,
                  example_shape: Sequence[int] = (1, 128, 128, 128, 9),
-                 l1_weight: float = 100.0):
+                 l1_weight: float = 10.0, gan_lr: float = 2e-4):
+        # defaults: delta3=10 L1 weight, lr=0.0002, Adam betas (0.5, 0.999)
+        # (train_light_dosegan.py:199-205,298)
         self.cfg = cfg
         self.gen = UnetGenerator3D(out_ch=1, ngf=ngf)
         self.disc = NLayerDiscriminator(ndf=ndf)
@@ -819,8 +843,8 @@ class DoseGANTrainer:
         dx = jnp.zeros((*example_shape[:-1], example_shape[-1] + 1), jnp.float32)
         g_vars = jax.jit(self.gen.init)(jax.random.PRNGKey(cfg.seed), gx)
         d_vars = jax.jit(self.disc.init)(jax.random.PRNGKey(cfg.seed + 1), dx)
-        self.g_tx = S.make_optimizer(learning_rate=cfg.learning_rate, b1=0.5)
-        self.d_tx = S.make_optimizer(learning_rate=cfg.learning_rate, b1=0.5)
+        self.g_tx = S.make_optimizer(learning_rate=gan_lr, b1=0.5)
+        self.d_tx = S.make_optimizer(learning_rate=gan_lr, b1=0.5)
         self.g_state = S.create_train_state(g_vars, self.g_tx)
         self.d_state = S.create_train_state(d_vars, self.d_tx)
         self.step = STEP.make_dosegan_train_steps(
