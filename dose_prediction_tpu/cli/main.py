@@ -47,6 +47,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--remat-blocks", action="store_true",
                    help="per-block remat in the flagship decoder: lower "
                         "activation memory, enables device batch >=3 at 128^3")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of the first training "
+                        "epoch here (TensorBoard/XProf)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -167,6 +170,7 @@ def main(argv=None) -> int:
             feed_dtype=getattr(args, "feed_dtype", "float32"),
             grad_accum=getattr(args, "grad_accum", 1),
             remat_blocks=getattr(args, "remat_blocks", False),
+            profile_dir=getattr(args, "profile_dir", None),
             lr_encoder=getattr(args, "lr_encoder", None),
             lr_decoder=getattr(args, "lr_decoder", None),
             scheduler=getattr(args, "scheduler", None),

@@ -25,6 +25,7 @@ from dose_prediction_tpu.models.experiments import VitGenerator, resnet10
 from dose_prediction_tpu.train import losses as L
 from dose_prediction_tpu.train import state as S
 from dose_prediction_tpu.train.state import TrainState, update_moving_loss
+from dose_prediction_tpu.train.trainers import _drains_checkpoints
 from dose_prediction_tpu.utils.logging import MetricLogger
 
 
@@ -181,6 +182,7 @@ class VitGANTrainer:
         return {"mean_dose_score": -float(np.mean(scores)),
                 "val_loss": float(np.mean(vlosses))}
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         from dose_prediction_tpu.train.trainers import _host_mean, _try_resume

@@ -73,16 +73,20 @@ class TrainConfig:
     # update (optax.MultiSteps) — effective batch k·batch_size at micro-batch
     # memory (HBM caps the 128³ flagship at device batch 2)
     grad_accum: int = 1
+    # per-block rematerialization in the flagship decoder (models/dose_pyfer.py
+    # remat_blocks): ~⅓ more decoder FLOPs for much lower activation memory —
+    # the enabler for device batch ≥3 at 128³ on 16 GB HBM
+    remat_blocks: bool = False
+    # write a jax.profiler trace of the FIRST training epoch to this directory
+    # (TensorBoard/XProf-readable; SURVEY §5.1 — no-op on backends without
+    # profiler support, e.g. some remote tunnels)
+    profile_dir: Optional[str] = None
     # C3D optimizer/scheduler selection (train_light_c3d.py:179-243 /
     # network_trainer.py:110-153). lr_encoder/lr_decoder give the encoder and
     # decoder parameter groups separate rates; scheduler picks the LR policy.
     # Schedule horizons (milestones, t_max) are in optimizer STEPS — torch
     # steps its schedulers per epoch, optax per update; pass
     # epochs×steps_per_epoch for exact parity.
-    # per-block rematerialization in the flagship decoder (models/dose_pyfer.py
-    # remat_blocks): ~⅓ more decoder FLOPs for much lower activation memory —
-    # the enabler for device batch ≥3 at 128³ on 16 GB HBM
-    remat_blocks: bool = False
     lr_encoder: Optional[float] = None
     lr_decoder: Optional[float] = None
     scheduler: Optional[str] = None       # 'multistep' | 'cosine' | 'plateau'
@@ -167,13 +171,39 @@ def _host_mean(losses: List[jax.Array]) -> float:
     return float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses])))
 
 
+def _drains_checkpoints(fit_fn):
+    """Ensure every async checkpoint write issued during fit is durable when
+    fit returns (crash-consistency at the API boundary; also prevents orbax
+    commit threads racing interpreter shutdown when a CLI process exits right
+    after training)."""
+    import functools
+
+    @functools.wraps(fit_fn)
+    def wrapper(self, *args, **kwargs):
+        try:
+            return fit_fn(self, *args, **kwargs)
+        finally:
+            ckpt = getattr(self, "ckpt", None)
+            if ckpt is not None:
+                ckpt.wait()
+
+    return wrapper
+
+
 def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any]):
     """Shared resume policy (every trainer's ckpt_path='last.ckpt' analogue,
     e.g. train_light_hdunet.py:296, train_light_dosegan.py:349): prefer the
     every-epoch 'last' slot (at least as fresh as monitored saves), fall back
-    to the newest monitored/legacy checkpoint. Returns (tree|None, start_epoch).
-    """
-    restored = ckpt.restore_last(template)
+    to the newest monitored/legacy checkpoint. A corrupt/partial slot (e.g. a
+    crash mid-write on a filesystem without atomic rename) degrades to the
+    next candidate instead of killing the run. Returns
+    (tree|None, start_epoch)."""
+    restored = None
+    try:
+        restored = ckpt.restore_last(template)
+    except Exception as e:
+        print(f"[resume] 'last' slot unreadable ({type(e).__name__}); "
+              f"falling back to monitored checkpoints")
     if restored is None:
         _, restored = ckpt.restore_latest(template)
     if restored is None:
@@ -211,6 +241,7 @@ class PyferTrainer:
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
         self.best_val = -np.inf
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True,
             on_validation: Optional[Callable[[int, Dict[str, float]], bool]] = None) -> None:
@@ -240,15 +271,18 @@ class PyferTrainer:
                 _train_batches(cfg, train_ds, epoch,
                                drop_last=self.batch_sharding is not None),
                 sharding=self.batch_sharding), timer)
-            for batch in it:
-                timer.tick()
-                self.state, loss = self.train_step(self.state, batch)
-                epoch_losses.append(loss)   # device scalar; no per-step sync
-                timer.tock("train")
-                global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
-                    break
-            mean_loss = _host_mean(epoch_losses)
+            from dose_prediction_tpu.utils.profiling import trace
+            prof = trace(cfg.profile_dir if epoch == start_epoch else None)
+            with prof:
+                for batch in it:
+                    timer.tick()
+                    self.state, loss = self.train_step(self.state, batch)
+                    epoch_losses.append(loss)   # device scalar; no per-step sync
+                    timer.tock("train")
+                    global_step += 1
+                    if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                        break
+                mean_loss = _host_mean(epoch_losses)
             self.logger.log({"train_mean_loss": mean_loss,
                              "moving_loss": float(self.state.moving_loss)}, epoch + 1)
 
@@ -424,6 +458,7 @@ class CascadeC3DTrainer:
 
         self._predict = predict
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         cfg = self.cfg
@@ -530,6 +565,7 @@ class HDUNetTrainer:
         return {"mean_dose_score": -float(np.mean(scores)),
                 "val_loss": float(np.mean(vlosses))}
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         cfg = self.cfg
@@ -654,6 +690,7 @@ class TranSegTrainer:
         return (float(np.nanmean(dices)), float(np.nanmean(hds)),
                 float(np.mean(vlosses)))
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, num_samples: int = 4, resume: bool = False):
         cfg = self.cfg
@@ -755,6 +792,7 @@ class ExpModelTrainer:
             self._sw_runs[sw_batch_size] = run
         return run
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         cfg = self.cfg
@@ -876,6 +914,7 @@ class DoseGANTrainer:
         return {"mean_dose_score": -float(np.mean(scores)),
                 "val_loss": float(np.mean(vlosses))}
 
+    @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         cfg = self.cfg

@@ -217,6 +217,44 @@ def test_transeg_validate_reuses_programs(tmp_path, synthetic_ds):
     assert run._cache_size() == traces   # no retrace on the second validate
 
 
+def test_resume_survives_corrupt_last_slot(tmp_path, synthetic_ds):
+    """A corrupt 'last' slot degrades to the monitored checkpoint instead of
+    killing the run (crash-mid-write robustness, SURVEY §5.3)."""
+    cfg = _cfg(tmp_path)
+    tr = HDUNetTrainer(cfg, model=HDUNet(growth_rate=4, upsample_chan=8),
+                       example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, synthetic_ds, resume=False)   # monitored + last saved
+    tr.ckpt.wait()                                      # drain the async write
+    steps_first = int(tr.state.step)
+    # corrupt the last slot: replace its metadata/content with garbage
+    import shutil
+
+    last = tmp_path / "ckpt" / "last"
+    shutil.rmtree(last)
+    last.mkdir()
+    (last / "checkpoint").write_text("garbage")
+    tr2 = HDUNetTrainer(_cfg(tmp_path, max_epochs=2, max_steps=4),
+                        model=HDUNet(growth_rate=4, upsample_chan=8),
+                        example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr2.fit(synthetic_ds, None, resume=True)   # falls back, does not raise
+    assert int(tr2.state.step) > steps_first
+
+
+def test_profile_dir_writes_trace(tmp_path, synthetic_ds):
+    """TrainConfig.profile_dir captures a first-epoch jax.profiler trace."""
+    from dose_prediction_tpu.models import DosePyfer
+    from dose_prediction_tpu.train.trainers import PyferTrainer
+
+    cfg = _cfg(tmp_path, profile_dir=str(tmp_path / "prof"))
+    model = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                      hidden_size=24, mlp_dim=48, num_layers=2, num_heads=2)
+    tr = PyferTrainer(cfg, model=model, example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, None, resume=False)
+    assert (tmp_path / "prof").exists()
+    # CPU backends support profiling: a plugins/profile dump appears
+    assert list((tmp_path / "prof").rglob("*"))
+
+
 @pytest.mark.slow
 def test_private_seg_dataset_feeds_transeg(tmp_path, rng):
     """VERDICT r2 weak #8: the private 13-OAR dataset now has a trainer path
