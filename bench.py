@@ -74,6 +74,16 @@ def main() -> None:
     p50 = float(np.percentile(times, 50))
     p90 = float(np.percentile(times, 90))
 
+    # multi-patient sweep throughput: 1-deep pipelined dispatch (patient i+1's
+    # cascade queued before patient i's sync read — the serve-sweep mode)
+    from dose_prediction_tpu.infer.pipeline import pipeline_map
+
+    t0 = time.perf_counter()
+    n_sweep = 10
+    for _ in pipeline_map(lambda i: run(ct, ptv, mask), sync, range(n_sweep)):
+        pass
+    sweep_vps = n_sweep / (time.perf_counter() - t0)
+
     result = {
         "metric": "cascade_128_p50_latency",
         "value": round(p50, 6),
@@ -81,6 +91,7 @@ def main() -> None:
         "vs_baseline": round(BASELINE_P50_S / p50, 3),
         "p90_s": round(p90, 6),
         "volumes_per_sec_per_chip": round(1.0 / p50, 3),
+        "sweep_volumes_per_sec": round(sweep_vps, 3),
         "compile_s": round(compile_s, 1),
         "device": jax.devices()[0].device_kind,
     }

@@ -54,6 +54,7 @@ def test_reinit_orthogonal_is_orthogonal():
     np.testing.assert_allclose(k.T @ k, np.eye(16), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vitgan_trainer_accepts_init_type(tmp_path):
     from dose_prediction_tpu.models.experiments import VitGenerator
     from dose_prediction_tpu.train.gan import VitGANTrainer

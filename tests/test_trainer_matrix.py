@@ -38,6 +38,7 @@ def _cfg(tmp_path, **kw):
     return TrainConfig(**base)
 
 
+@pytest.mark.slow
 def test_hdunet_trainer_val_ckpt_resume_test(tmp_path, synthetic_ds):
     cfg = _cfg(tmp_path)
     tr = HDUNetTrainer(cfg, model=HDUNet(growth_rate=4, upsample_chan=8),
@@ -150,6 +151,7 @@ def test_c3d_resume_from_last(tmp_path, synthetic_ds):
     assert int(tr2.state.step) > steps_first
 
 
+@pytest.mark.slow
 def test_c3d_split_lr_and_scheduler_selection(tmp_path):
     """Split enc/dec LRs + scheduler choice reach the optimizer through
     TrainConfig (network_trainer.py:110-118, train_light_c3d.py:179-243)."""
@@ -217,6 +219,7 @@ def test_transeg_validate_reuses_programs(tmp_path, synthetic_ds):
     assert run._cache_size() == traces   # no retrace on the second validate
 
 
+@pytest.mark.slow
 def test_resume_survives_corrupt_last_slot(tmp_path, synthetic_ds):
     """A corrupt 'last' slot degrades to the monitored checkpoint instead of
     killing the run (crash-mid-write robustness, SURVEY §5.3)."""
@@ -240,6 +243,7 @@ def test_resume_survives_corrupt_last_slot(tmp_path, synthetic_ds):
     assert int(tr2.state.step) > steps_first
 
 
+@pytest.mark.slow
 def test_profile_dir_writes_trace(tmp_path, synthetic_ds):
     """TrainConfig.profile_dir captures a first-epoch jax.profiler trace."""
     from dose_prediction_tpu.models import DosePyfer
