@@ -26,8 +26,23 @@ import orbax.checkpoint as ocp
 
 # in-flight async 'last'-slot writers by path (same-process synchronization
 # across CheckpointManager instances; cross-process safety comes from orbax's
-# tmp-dir + atomic rename)
-_LAST_INFLIGHT: Dict[str, Any] = {}
+# tmp-dir + atomic rename). Values are weakrefs: fit() drains its writes on
+# exit (_drains_checkpoints), so a collected manager has nothing in flight —
+# and strong refs here would pin every per-trial manager for the process
+# lifetime during long HPO sweeps.
+import weakref
+
+_LAST_INFLIGHT: Dict[str, "weakref.ref"] = {}
+
+# one process-wide atexit drain over live managers (a per-instance
+# atexit.register would pin each manager + its orbax threads forever)
+_LIVE_MANAGERS: "weakref.WeakSet" = weakref.WeakSet()
+_ATEXIT_REGISTERED = False
+
+
+def _drain_all_managers() -> None:
+    for mgr in list(_LIVE_MANAGERS):
+        mgr._drain()
 
 
 # ---------------------------------------------------------------------------
@@ -73,11 +88,15 @@ class CheckpointManager:
         self._last_ckptr: Optional[ocp.AsyncCheckpointer] = None
         # drain in-flight async writes before interpreter teardown — orbax's
         # background commit threads cannot schedule futures once the default
-        # executor shuts down (registered here so the monitored manager's
-        # async saves are covered too)
-        import atexit
+        # executor shuts down. ONE process-wide hook over a WeakSet: managers
+        # stay collectable (HPO sweeps create one per trial).
+        global _ATEXIT_REGISTERED
+        _LIVE_MANAGERS.add(self)
+        if not _ATEXIT_REGISTERED:
+            import atexit
 
-        atexit.register(self._drain)
+            atexit.register(_drain_all_managers)
+            _ATEXIT_REGISTERED = True
 
     def save(self, step: int, tree: Any, metrics: Dict[str, float]) -> None:
         """Monitored save. Async: the write proceeds while training continues
@@ -100,11 +119,12 @@ class CheckpointManager:
                               force=True)
         # same-process readers (even via a different manager instance) must be
         # able to synchronize with this write
-        _LAST_INFLIGHT[str(self._dir / "last")] = self._last_ckptr
+        _LAST_INFLIGHT[str(self._dir / "last")] = weakref.ref(self._last_ckptr)
 
     def restore_last(self, target: Optional[Any] = None) -> Any:
         path = self._dir / "last"
-        inflight = _LAST_INFLIGHT.get(str(path))
+        inflight_ref = _LAST_INFLIGHT.get(str(path))
+        inflight = inflight_ref() if inflight_ref is not None else None
         if inflight is not None:
             inflight.wait_until_finished()
         if not path.exists():
@@ -162,6 +182,7 @@ class CheckpointManager:
             self._last_ckptr.close()
             self._last_ckptr = None
         self._mgr.close()
+        _LIVE_MANAGERS.discard(self)
 
 
 # ---------------------------------------------------------------------------

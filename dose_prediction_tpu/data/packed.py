@@ -55,7 +55,8 @@ def pack_patient(p: Patient) -> Optional[Dict[str, np.ndarray]]:
     ptv70 = p.ptv * 70.0
     ptv_u8 = np.rint(ptv70).astype(np.uint8)
     ok = (
-        np.abs(ptv70 - np.rint(ptv70)).max() < 1e-3 and ptv70.max() <= 255
+        p.oars.shape[-1] <= 7   # bits 0-6; bit 7 is the dose mask
+        and np.abs(ptv70 - np.rint(ptv70)).max() < 1e-3 and ptv70.max() <= 255
         and np.isin(p.oars, (0.0, 1.0)).all()
         and np.isin(p.dose_mask, (0.0, 1.0)).all()
     )

@@ -17,7 +17,7 @@ batched over tokens and map directly onto the 128×128 systolic array.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as fnn
 import jax
@@ -107,9 +107,19 @@ class TransformerBlock(fnn.Module):
 
 
 class PatchEmbed3D(fnn.Module):
+    """Patch embedding + learned position embedding.
+
+    ``trained_grid`` (a framework extension beyond the MONAI ViT, which is
+    fixed to its training grid): when set and different from the runtime
+    token grid, the learned position embedding is trilinearly resized from
+    the trained grid — a checkpoint trained at e.g. 96³ (6³ tokens) can run
+    full-volume inference at other sizes without shape-mismatched params
+    (standard ViT grid-interpolation practice)."""
+
     hidden_size: int
     patch_size: int = 16
     pos_embed: str = "perceptron"  # or "conv"
+    trained_grid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -127,7 +137,15 @@ class PatchEmbed3D(fnn.Module):
             tokens = feat.reshape(n, n_tokens, self.hidden_size)
         else:
             raise ValueError(f"unknown pos_embed {self.pos_embed!r}")
-        pos = self.param("pos_embedding", tinit.trunc_normal(0.02), (1, n_tokens, self.hidden_size))
+        base = tuple(int(g) for g in self.trained_grid) if self.trained_grid else grid
+        pos = self.param("pos_embedding", tinit.trunc_normal(0.02),
+                         (1, base[0] * base[1] * base[2], self.hidden_size))
+        if base != grid:
+            from dose_prediction_tpu.ops.resize import resize3d
+
+            pos = resize3d(pos.reshape(1, *base, self.hidden_size), grid,
+                           mode="trilinear", align_corners=True)
+            pos = pos.reshape(1, n_tokens, self.hidden_size)
         return tokens + pos.astype(tokens.dtype)
 
 
@@ -140,11 +158,14 @@ class ViT3D(fnn.Module):
     num_heads: int = 12
     patch_size: int = 16
     pos_embed: str = "perceptron"
+    # see PatchEmbed3D.trained_grid: run a checkpoint on other volume sizes
+    trained_grid: Optional[Sequence[int]] = None
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, x) -> Tuple[jax.Array, List[jax.Array]]:
         tokens = PatchEmbed3D(self.hidden_size, self.patch_size, self.pos_embed,
+                              trained_grid=self.trained_grid,
                               dtype=self.dtype, name="patch_embedding")(x)
         hidden_states = []
         for i in range(self.num_layers):

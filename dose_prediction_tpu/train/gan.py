@@ -31,9 +31,10 @@ from dose_prediction_tpu.utils.logging import MetricLogger
 
 def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
                            delta3: float = 0.01, delta1: float = 10.0,
-                           delta2: float = 1.0):
+                           delta2: float = 1.0, packed: bool = False):
     """One jit program running a G update and (conditionally) a D update;
-    ``train_d`` implements the FineTuneCB freeze window."""
+    ``train_d`` implements the FineTuneCB freeze window. ``packed=True``
+    takes the bit-packed feed and unpacks it on device (data/packed.py)."""
 
     def g_apply(gp, gs, x):
         return generator.apply({"params": gp, "batch_stats": gs}, x,
@@ -62,6 +63,10 @@ def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
 
     @partial(jax.jit, static_argnames=("train_d",), donate_argnums=(0, 1))
     def step(g_state: TrainState, d_state: TrainState, batch, train_d: bool = True):
+        if packed:
+            from dose_prediction_tpu.data.packed import unpack_dose_batch
+
+            batch = unpack_dose_batch(batch)
         (g_loss, g_stats), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             g_state.params, g_state.batch_stats, d_state, batch)
         g_updates, g_opt = g_tx.update(g_grads, g_state.opt_state, g_state.params)
@@ -133,7 +138,8 @@ class VitGANTrainer:
         self.d_state = S.create_train_state(d_vars, self.d_tx)
         self.step = make_vitgan_train_step(self.gen, self.disc, self.g_tx, self.d_tx,
                                            delta3=delta3, delta1=cfg.delta1,
-                                           delta2=cfg.delta2)
+                                           delta2=cfg.delta2,
+                                           packed=cfg.feed_dtype == "packed")
         self.logger = MetricLogger(cfg.log_dir, run_name="vitgan")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score",
                                         mode="max")
@@ -185,7 +191,11 @@ class VitGANTrainer:
     @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
-        from dose_prediction_tpu.train.trainers import _host_mean, _try_resume
+        from dose_prediction_tpu.train.trainers import (
+            _host_mean,
+            _train_batches,
+            _try_resume,
+        )
 
         cfg = self.cfg
         start_epoch = 0
@@ -198,8 +208,8 @@ class VitGANTrainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             train_d = epoch >= self.unfreeze_epoch
             g_losses, d_losses = [], []
-            for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+            for batch in device_prefetch(
+                    _train_batches(cfg, train_ds, epoch, drop_last=False)):
                 self.g_state, self.d_state, info = self.step(
                     self.g_state, self.d_state, batch, train_d=train_d)
                 g_losses.append(info["g_loss"])

@@ -189,7 +189,8 @@ def make_transeg_train_step(model, tx: optax.GradientTransformation):
 
 def make_deep_supervision_train_step(model, tx: optax.GradientTransformation, *,
                                      delta1: float = 10.0, delta2: float = 8.0,
-                                     huber: bool = False, cascade: bool = False):
+                                     huber: bool = False, cascade: bool = False,
+                                     packed: bool = False):
     """Experimental-zoo step (train_light_exp_models.py:193): any model
     returning a deep-supervision output list trains with the non-cascade
     GenLoss (Huber optional). batch_stats-carrying models supported."""
@@ -204,6 +205,8 @@ def make_deep_supervision_train_step(model, tx: optax.GradientTransformation, *,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch):
+        if packed:
+            batch = unpack_dose_batch(batch)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -226,6 +229,7 @@ def make_dosegan_train_steps(
     d_tx: optax.GradientTransformation,
     *,
     l1_weight: float = 100.0,
+    packed: bool = False,
 ):
     """DoseGAN alternating G/D steps (train_light_dosegan.py:111-142):
     D: BCE(real→1) + BCE(fake→0);  G: BCE(fake→1) + λ·masked-L1.
@@ -264,6 +268,8 @@ def make_dosegan_train_steps(
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(g_state: TrainState, d_state: TrainState, batch):
+        if packed:
+            batch = unpack_dose_batch(batch)
         (d_loss, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             d_state.params, d_state.batch_stats, g_state, batch)
         d_updates, d_opt = d_tx.update(d_grads, d_state.opt_state, d_state.params)

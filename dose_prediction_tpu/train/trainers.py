@@ -252,14 +252,12 @@ class PyferTrainer:
         cfg = self.cfg
         start_epoch = 0
         if resume:
-            # prefer the every-epoch 'last' slot; it is at least as fresh as
-            # the monitored val-epoch saves (train_light_pyfer.py:343-347)
-            restored = self.ckpt.restore_last({"state": self.state, "epoch": 0})
-            if restored is None:
-                _, restored = self.ckpt.restore_latest({"state": self.state, "epoch": 0})
+            # last-slot first, then monitored, degrading past corrupt slots
+            # (train_light_pyfer.py:343-347 ckpt_path='last.ckpt')
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"state": self.state, "epoch": 0})
             if restored is not None:
                 self.state = restored["state"]
-                start_epoch = int(restored["epoch"]) + 1
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
         _check_mesh_batch(cfg, self.mesh)
         timer = EpochTimer()
@@ -772,7 +770,8 @@ class ExpModelTrainer:
         self.logger = MetricLogger(cfg.log_dir, run_name="exp_model")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
         self.train_step = STEP.make_deep_supervision_train_step(
-            self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2, huber=huber)
+            self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
+            huber=huber, packed=cfg.feed_dtype == "packed")
         # one sliding-window program per sw_batch_size, built once (a fresh
         # closure per validate() call would retrace the whole sweep)
         self._sw_runs: Dict[int, Any] = {}
@@ -805,8 +804,8 @@ class ExpModelTrainer:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+            for batch in device_prefetch(
+                    _train_batches(cfg, train_ds, epoch, drop_last=False)):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
@@ -886,7 +885,8 @@ class DoseGANTrainer:
         self.g_state = S.create_train_state(g_vars, self.g_tx)
         self.d_state = S.create_train_state(d_vars, self.d_tx)
         self.step = STEP.make_dosegan_train_steps(
-            self.gen, self.disc, self.g_tx, self.d_tx, l1_weight=l1_weight)
+            self.gen, self.disc, self.g_tx, self.d_tx, l1_weight=l1_weight,
+            packed=cfg.feed_dtype == "packed")
         self.logger = MetricLogger(cfg.log_dir, run_name="dosegan")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
 
@@ -927,8 +927,8 @@ class DoseGANTrainer:
         global_step = int(self.g_state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             g_losses, d_losses = [], []
-            for batch in device_prefetch(dose_batches(
-                    train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch)):
+            for batch in device_prefetch(
+                    _train_batches(cfg, train_ds, epoch, drop_last=False)):
                 self.g_state, self.d_state, info = self.step(self.g_state, self.d_state, batch)
                 g_losses.append(info["g_loss"])
                 d_losses.append(info["d_loss"])

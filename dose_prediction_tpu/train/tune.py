@@ -326,9 +326,10 @@ class PopulationBasedScheduler:
 class PB2Scheduler(PopulationBasedScheduler):
     """GP-bandit PB2 (Parker-Holder et al. 2020; the Ray PB2 the reference
     configures, tune_light_pyfer.py:124-145). Exploit copies a top performer's
-    weights/config like PBT, but EXPLORE selects the continuous hyperparameters
-    by GP-UCB fitted on the population's (config → metric improvement) history
-    instead of a random ×0.8/×1.25 perturbation."""
+    CONFIG (run_pbt keeps each member's own training state — weight transfer
+    is the caller's choice), and EXPLORE selects the continuous
+    hyperparameters by GP-UCB fitted on the population's (config → metric
+    improvement) history instead of a random ×0.8/×1.25 perturbation."""
 
     def __init__(self, *, bounds: Dict[str, Tuple[float, float]],
                  ucb_kappa: float = 1.5, length_scale: float = 0.25,
@@ -352,8 +353,9 @@ class PB2Scheduler(PopulationBasedScheduler):
 
     def observe(self, trials: List[Trial]) -> None:
         """Record each trial's metric improvement since the last interval
-        (the GP's reward signal). Call once per perturbation interval, before
-        exploit_explore."""
+        (the GP's reward signal). Called internally by exploit_explore — do
+        NOT also call it yourself, or every interval double-counts as a
+        spurious zero-improvement sample."""
         for t in trials:
             prev = self._last.get(t.trial_id)
             if prev is not None and not math.isnan(t.last_value):

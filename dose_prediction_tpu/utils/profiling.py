@@ -15,17 +15,28 @@ import numpy as np
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]) -> Iterator[None]:
     """jax.profiler trace context; no-op when log_dir is None (or tracing is
-    unsupported on the backend — e.g. remote tunnels)."""
+    unsupported on the backend — e.g. remote tunnels). Only the profiler
+    start/stop are guarded — exceptions raised by the profiled BODY propagate
+    unchanged (wrapping the whole with-block would swallow them and surface
+    as contextlib's \"generator didn't stop after throw()\")."""
     if log_dir is None:
         yield
         return
     Path(log_dir).mkdir(parents=True, exist_ok=True)
+    started = False
     try:
-        with jax.profiler.trace(log_dir):
-            yield
+        jax.profiler.start_trace(log_dir)
+        started = True
     except Exception:
-        # backends without profiler support still run the body
+        pass  # backends without profiler support still run the body
+    try:
         yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
 
 @contextlib.contextmanager

@@ -98,8 +98,10 @@ def main() -> int:
                     break
             if n > args.steps:
                 break
+        import math
+
         loss_v = float(loss)                   # sync closes steady steps
-        result["ok"] = bool(loss_v == loss_v)  # finite check below
+        result["ok"] = math.isfinite(loss_v)
         result["loss"] = round(loss_v, 4)
         result["s_per_step"] = round(
             (time.perf_counter() - first_done) / (n - 1), 3)

@@ -115,6 +115,39 @@ def test_augment_decisions_shared_between_paths(rng):
         assert r1.random() == r2.random()
 
 
+def test_profiler_trace_propagates_body_exceptions(tmp_path):
+    """trace() must not swallow exceptions raised by the profiled body (the
+    old wrapper turned them into contextlib's 'generator didn't stop')."""
+    from dose_prediction_tpu.utils.profiling import trace
+
+    with pytest.raises(ValueError, match="boom"):
+        with trace(str(tmp_path / "prof")):
+            raise ValueError("boom")
+    # and the no-op path too
+    with pytest.raises(ValueError, match="boom"):
+        with trace(None):
+            raise ValueError("boom")
+
+
+def test_pack_declines_more_than_7_oar_channels():
+    """An 8th OAR channel would collide with the dose-mask bit — packing must
+    decline, not corrupt."""
+    import types
+
+    from dose_prediction_tpu.data.packed import pack_patient
+
+    shape = (4, 4, 4)
+    p = types.SimpleNamespace(
+        patient_id="p8",
+        ptv=np.zeros(shape, np.float32),
+        oars=np.zeros((*shape, 8), np.float32),
+        ct=np.zeros(shape, np.float32),
+        dose=np.zeros(shape, np.float32),
+        dose_mask=np.ones(shape, np.float32),
+    )
+    assert pack_patient(p) is None
+
+
 def test_sharded_sw_cache_is_bounded():
     from dose_prediction_tpu.infer import sliding_window as SW
 

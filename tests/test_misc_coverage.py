@@ -76,3 +76,33 @@ def test_config_flags_env(monkeypatch):
     # restore module-level FLAGS to defaults for other tests
     monkeypatch.undo()
     importlib.reload(cfg)
+
+
+def test_vit_pos_embed_grid_adaptation():
+    """trained_grid: a ViT checkpoint trained on one token grid runs on
+    another — the learned pos-embedding is trilinearly resized (framework
+    extension beyond the fixed-grid MONAI ViT)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dose_prediction_tpu.nn.vit import ViT3D
+
+    vit_small = ViT3D(hidden_size=24, mlp_dim=48, num_layers=1, num_heads=2,
+                      patch_size=8)
+    x32 = jnp.zeros((1, 32, 32, 32, 1))          # 4^3 = 64 tokens
+    v = vit_small.init(jax.random.PRNGKey(0), x32)
+    assert v["params"]["patch_embedding"]["pos_embedding"].shape == (1, 64, 24)
+
+    # same params, larger input, via trained_grid
+    vit_adapted = ViT3D(hidden_size=24, mlp_dim=48, num_layers=1, num_heads=2,
+                        patch_size=8, trained_grid=(4, 4, 4))
+    x48 = jnp.zeros((1, 48, 48, 48, 1))          # 6^3 = 216 tokens
+    tokens, hidden = vit_adapted.apply(v, x48)
+    assert tokens.shape == (1, 216, 24)
+
+    # identity when the runtime grid equals the trained grid
+    t_plain, _ = vit_small.apply(v, x32)
+    t_adapt, _ = vit_adapted.apply(v, x32)
+    np.testing.assert_allclose(np.asarray(t_plain), np.asarray(t_adapt),
+                               rtol=1e-6, atol=1e-6)
