@@ -84,6 +84,21 @@ def main() -> None:
         pass
     sweep_vps = n_sweep / (time.perf_counter() - t0)
 
+    # dense fast path (extra, NOT the headline): one full-volume seg forward
+    # via pos-embed grid adaptation instead of the 8-window sweep — the sweep
+    # recomputes ~2.4× of the conv work at this geometry. Accuracy vs the
+    # sliding path must be validated on real data before serving with it.
+    seg_dense = TranSeg(out_ch=8, dtype=dtype, trained_grid=(6, 6, 6))
+    run_dense = make_cascade_fn(seg_dense, seg_vars, dose, dose_vars,
+                                seg_mode="dense")
+    sync(run_dense(ct, ptv, mask))
+    dense_times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sync(run_dense(ct, ptv, mask))
+        dense_times.append(time.perf_counter() - t0)
+    dense_p50 = float(np.percentile(dense_times, 50))
+
     result = {
         "metric": "cascade_128_p50_latency",
         "value": round(p50, 6),
@@ -92,6 +107,7 @@ def main() -> None:
         "p90_s": round(p90, 6),
         "volumes_per_sec_per_chip": round(1.0 / p50, 3),
         "sweep_volumes_per_sec": round(sweep_vps, 3),
+        "dense_fastpath_p50_s": round(dense_p50, 6),
         "compile_s": round(compile_s, 1),
         "device": jax.devices()[0].device_kind,
     }

@@ -43,12 +43,22 @@ def make_cascade_stages(
     sw_batch_size: int = 4,
     overlap: float = 0.25,
     dose_scale: float = 70.0,
+    seg_mode: str = "sliding",
 ):
     """The two cascade stages as pure functions (un-jitted):
-    ``stage1(seg_vars, ct, ptv) -> structures`` (sliding-window seg + one-hot
-    + 9-ch concat) and ``stage2(dose_vars, structures, dose_mask) -> dose_gy``.
-    Exposed separately so the streaming pipeline (infer/pipeline.py) can place
-    them on different devices."""
+    ``stage1(seg_vars, ct, ptv) -> structures`` (seg + one-hot + 9-ch concat)
+    and ``stage2(dose_vars, structures, dose_mask) -> dose_gy``. Exposed
+    separately so the streaming pipeline (infer/pipeline.py) can place them
+    on different devices.
+
+    ``seg_mode``: 'sliding' = the reference's MONAI sliding-window sweep
+    (:152-154) — behavioral parity. 'dense' = ONE full-volume seg forward;
+    the overlapping-window sweep recomputes ~2.4× of the conv work at the
+    128³/96³ geometry, so dense is substantially faster. Requires the seg
+    model to accept the full volume (construct TranSeg with
+    trained_grid=(roi/patch)³ so the ViT pos-embedding resizes). Accuracy
+    equals the sliding path only when roi ≥ volume; on real data validate the
+    dense path's Dice before serving with it."""
 
     def seg_predictor(windows, seg_vars):
         logits, _ = seg_model.apply(seg_vars, windows, train=False,
@@ -56,11 +66,14 @@ def make_cascade_stages(
         return logits
 
     def stage1(seg_vars, ct: jax.Array, ptv: jax.Array) -> jax.Array:
-        # sliding-window segmentation over the full CT (:152-154)
-        logits = sliding_window_inference(
-            ct, seg_predictor, roi_size=roi_size, sw_batch_size=sw_batch_size,
-            overlap=overlap, out_channels=num_oar_classes,
-            predictor_args=(seg_vars,))
+        if seg_mode == "dense":
+            logits = seg_predictor(ct, seg_vars)
+        else:
+            # sliding-window segmentation over the full CT (:152-154)
+            logits = sliding_window_inference(
+                ct, seg_predictor, roi_size=roi_size, sw_batch_size=sw_batch_size,
+                overlap=overlap, out_channels=num_oar_classes,
+                predictor_args=(seg_vars,))
         labels = jnp.argmax(logits, axis=-1)
         # one-hot, drop background channel (:157-160)
         oars = jax.nn.one_hot(labels, num_oar_classes, dtype=ct.dtype)[..., 1:]
@@ -88,6 +101,7 @@ def make_cascade_fn(
     overlap: float = 0.25,
     dose_scale: float = 70.0,
     fuse: bool = False,
+    seg_mode: str = "sliding",
 ) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
     """Build the linked inference program.
 
@@ -99,7 +113,7 @@ def make_cascade_fn(
     stage1, stage2 = make_cascade_stages(
         seg_model, dose_model, num_oar_classes=num_oar_classes,
         roi_size=roi_size, sw_batch_size=sw_batch_size, overlap=overlap,
-        dose_scale=dose_scale)
+        dose_scale=dose_scale, seg_mode=seg_mode)
 
     if fuse:
         fused = jax.jit(lambda sv, dv, ct, ptv, mask: stage2(dv, stage1(sv, ct, ptv), mask))

@@ -47,6 +47,11 @@ class TranSeg(fnn.Module):
     act: str = "relu"
     multiS_conv: bool = True
     block_family: str = "seg"    # 'seg' | 'old' | 'ablation'
+    # run a checkpoint trained on another token grid (e.g. (6,6,6) for 96³
+    # crops) at a different volume size: the ViT pos-embedding is resized
+    # (nn/vit.py PatchEmbed3D.trained_grid); every other block is fully
+    # convolutional. Enables dense full-volume serve without sliding windows.
+    trained_grid: Any = None
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -62,6 +67,7 @@ class TranSeg(fnn.Module):
             num_heads=self.num_heads,
             patch_size=self.patch_size,
             pos_embed=self.pos_embed,
+            trained_grid=self.trained_grid,
             dtype=self.dtype,
             name="vit",
         )(x)

@@ -31,6 +31,50 @@ def test_pipeline_map_orders_and_overlaps():
 
 
 @pytest.mark.slow
+def test_dense_seg_mode_equals_single_window_sliding(tmp_path):
+    """seg_mode='dense': one full-volume seg forward. When roi ≥ volume the
+    sliding path is a single constant-blend window, so the two modes must be
+    bit-comparable — the parity anchor for the fast serve path."""
+    from dose_prediction_tpu.infer.cascade import make_cascade_fn
+    from dose_prediction_tpu.models import DosePyfer, TranSeg
+
+    seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                  num_layers=2, num_heads=2)
+    dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                     hidden_size=24, mlp_dim=48, num_layers=2, num_heads=2)
+    seg_vars = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, SIZE, 1)))
+    dose_vars = dose.init(jax.random.PRNGKey(1), jnp.zeros((1, SIZE, SIZE, SIZE, 9)))
+    rng = np.random.default_rng(3)
+    ct = jnp.asarray(rng.standard_normal((1, SIZE, SIZE, SIZE, 1)).astype(np.float32))
+    ptv = jnp.asarray((rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.7).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.3).astype(np.float32))
+
+    sliding = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                              roi_size=(SIZE, SIZE, SIZE), sw_batch_size=1)
+    dense = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                            roi_size=(SIZE, SIZE, SIZE), seg_mode="dense")
+    np.testing.assert_allclose(np.asarray(dense(ct, ptv, mask)),
+                               np.asarray(sliding(ct, ptv, mask)),
+                               rtol=1e-5, atol=1e-5)
+
+    # and dense runs a grid-adapted model on a LARGER volume than trained
+    seg_adapted = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                          num_layers=2, num_heads=2,
+                          trained_grid=(SIZE // 16, SIZE // 16, SIZE // 16))
+    big = SIZE + 16
+    dose_big = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                         hidden_size=24, mlp_dim=48, num_layers=2, num_heads=2)
+    dose_big_vars = dose_big.init(jax.random.PRNGKey(2),
+                                  jnp.zeros((1, big, big, big, 9)))
+    dense_big = make_cascade_fn(seg_adapted, seg_vars, dose_big, dose_big_vars,
+                                seg_mode="dense")
+    out = dense_big(jnp.zeros((1, big, big, big, 1)),
+                    jnp.zeros((1, big, big, big, 1)),
+                    jnp.ones((1, big, big, big, 1)))
+    assert out.shape == (1, big, big, big, 1)
+
+
+@pytest.mark.slow
 def test_streaming_cascade_matches_serial(tmp_path):
     from dose_prediction_tpu.infer.cascade import make_cascade_fn
     from dose_prediction_tpu.models import DosePyfer, TranSeg
