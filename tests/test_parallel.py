@@ -44,7 +44,11 @@ def test_dp_gradient_allreduce_matches_single_device(rng):
         xs = jax.device_put(x, batch_sharding(mesh))
         ys = jax.device_put(y, batch_sharding(mesh))
         g_sharded = jax.jit(jax.grad(loss_fn))(w, xs, ys)
-    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5)
+    # rtol alone is order-fragile: the session rng fixture's draws depend on
+    # which tests ran first, and an unlucky near-zero gradient element can
+    # exceed a pure rtol by reduction-order float noise (~6e-8 abs observed)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_param_shardings_vit_rules():
