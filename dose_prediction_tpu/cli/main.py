@@ -17,6 +17,11 @@ import sys
 from pathlib import Path
 
 
+# the pyfer-tuned default (train_light_pyfer.py:296); GAN trainers keep their
+# own reference LRs unless the user explicitly overrides --lr
+_DEFAULT_LR = 0.0006130697604327541
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data", required=True, help="glob for patient dirs, e.g. 'data/pt_*'")
     p.add_argument("--val-data", default=None)
@@ -24,7 +29,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--epochs", type=int, default=1300)
     p.add_argument("--check-val", type=int, default=5)
     p.add_argument("--batch-size", type=int, default=1)
-    p.add_argument("--lr", type=float, default=0.0006130697604327541)
+    p.add_argument("--lr", type=float, default=_DEFAULT_LR)
     p.add_argument("--weight-decay", type=float, default=0.00016303111017674179)
     p.add_argument("--optimizer", choices=["adamw", "adam8bit"], default="adamw")
     p.add_argument("--ckpt-dir", default="checkpoints")
@@ -246,14 +251,20 @@ def main(argv=None) -> int:
                     block_family=getattr(args, "block_family", "seg")))
         elif args.model == "vitgan":
             from dose_prediction_tpu.train.gan import VitGANTrainer
-            trainer = VitGANTrainer(cfg, example_shape=(1, *shape, 9))
+            # GAN LRs default to the reference's values (G 1e-4 / D 5e-3);
+            # an explicit --lr overrides BOTH (the parser default is the
+            # pyfer-tuned value, which would be wrong for the GANs)
+            gan_kw = ({"g_lr": args.lr, "d_lr": args.lr}
+                      if args.lr != _DEFAULT_LR else {})
+            trainer = VitGANTrainer(cfg, example_shape=(1, *shape, 9), **gan_kw)
         elif args.model == "exp":
             from dose_prediction_tpu.models.experiments import VitGenerator
             from dose_prediction_tpu.train.trainers import ExpModelTrainer
             trainer = ExpModelTrainer(cfg, VitGenerator(mode_multi_dec=True, act="mish"),
                                       example_shape=(1, *shape, 9))
         else:
-            trainer = DoseGANTrainer(cfg, example_shape=(1, *shape, 9))
+            gan_kw = {"gan_lr": args.lr} if args.lr != _DEFAULT_LR else {}
+            trainer = DoseGANTrainer(cfg, example_shape=(1, *shape, 9), **gan_kw)
         trainer.fit(train_ds, val_ds)
         return 0
 

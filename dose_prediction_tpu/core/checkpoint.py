@@ -111,7 +111,14 @@ class CheckpointManager:
         previous epoch's write finishes (tmp-dir + atomic rename) while this
         epoch trains — the save latency leaves the critical path. The
         device→host copy happens inside save() (orbax async contract), so the
-        caller may keep donating/mutating the state."""
+        caller may keep donating/mutating the state.
+
+        Contract: callers must reach wait()/close() (trainer fits do, via
+        @_drains_checkpoints) before dropping the manager — the cross-instance
+        in-flight registry holds weakrefs (strong refs would pin one thread
+        pool per checkpoint dir across an HPO sweep), so an abandoned
+        in-flight write is only guaranteed durable by orbax's atomic rename,
+        not synchronized with."""
         if self._last_ckptr is None:
             self._last_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
         self._last_ckptr.wait_until_finished()   # at most one in flight

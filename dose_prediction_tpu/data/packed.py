@@ -137,9 +137,16 @@ def unpack_dose_batch(batch, dtype=None):
     rot90, the transforms.apply_dose_augment order). Pure jax; call inside
     the jit step. rot90 requires D == H (guaranteed for the 128³ workload;
     packed_dose_batches ships rot_k=0 otherwise unusable shapes would fail
-    loudly at trace time)."""
+    loudly at trace time).
+
+    Pass-through: an already-unpacked {'input','gt'} batch returns unchanged
+    (the key check is static at trace time), so packed-built steps also
+    accept the f32 feed — the fallback path for unpackable datasets."""
     import jax
     import jax.numpy as jnp
+
+    if "input" in batch:
+        return batch
 
     dtype = dtype or jnp.float32
     ct = batch["ct"].astype(dtype)

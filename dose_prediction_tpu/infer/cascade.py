@@ -65,6 +65,9 @@ def make_cascade_stages(
                                     mutable=["batch_stats"])
         return logits
 
+    if seg_mode not in ("sliding", "dense"):
+        raise ValueError(f"unknown seg_mode {seg_mode!r} (want 'sliding' or 'dense')")
+
     def stage1(seg_vars, ct: jax.Array, ptv: jax.Array) -> jax.Array:
         if seg_mode == "dense":
             logits = seg_predictor(ct, seg_vars)

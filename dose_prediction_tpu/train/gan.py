@@ -163,36 +163,20 @@ class VitGANTrainer:
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
         """Sliding-window val (train_light_gan.py:219-246): GenLoss val loss on
         the blended output + masked MAE ×80 → mean_dose_score."""
-        from dose_prediction_tpu.evaluation import metrics as M
+        from dose_prediction_tpu.train.trainers import _sliding_val_sweep
 
-        from dose_prediction_tpu.infer.pipeline import pipeline_map
-
-        run = self._sw_run(sw_batch_size)
-        variables = {"params": self.g_state.params,
-                     "batch_stats": self.g_state.batch_stats}
-        scores, vlosses = [], []
-
-        def produce(p):
-            pred_dev = run(jnp.asarray(p.model_input[None]), variables)
-            return p, pred_dev, self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))
-
-        def consume(staged):
-            p, pred_dev, vloss = staged
-            vlosses.append(float(vloss))
-            pred = np.asarray(pred_dev)[0, ..., 0]
-            post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
-            scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
-
-        for _ in pipeline_map(produce, consume, val_ds.patients):
-            pass
-        return {"mean_dose_score": -float(np.mean(scores)),
-                "val_loss": float(np.mean(vlosses))}
+        return _sliding_val_sweep(
+            self._sw_run(sw_batch_size),
+            {"params": self.g_state.params,
+             "batch_stats": self.g_state.batch_stats},
+            val_ds, self._val_loss_fn, self.val_scale)
 
     @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         from dose_prediction_tpu.train.trainers import (
             _host_mean,
+            _traced_epoch,
             _train_batches,
             _try_resume,
         )
@@ -208,8 +192,9 @@ class VitGANTrainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             train_d = epoch >= self.unfreeze_epoch
             g_losses, d_losses = [], []
-            for batch in device_prefetch(
-                    _train_batches(cfg, train_ds, epoch, drop_last=False)):
+            for batch in _traced_epoch(device_prefetch(
+                    _train_batches(cfg, train_ds, epoch, drop_last=False)),
+                    cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(
                     self.g_state, self.d_state, batch, train_d=train_d)
                 g_losses.append(info["g_loss"])

@@ -149,15 +149,62 @@ def _timed_batches(iterator, timer: EpochTimer, bucket: str = "loader"):
 def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool):
     """Epoch batch source honoring cfg.feed_dtype ('float32' | 'bfloat16' |
     'packed'); the packed feed pairs with step factories built with
-    packed=True (data/packed.py)."""
+    packed=True (data/packed.py). An unpackable dataset (non-binary masks /
+    non-integer 70·PTV) degrades to the f32 feed with a warning — the
+    packed-built steps pass {'input','gt'} batches through unchanged."""
     if cfg.feed_dtype == "packed":
-        from dose_prediction_tpu.data.packed import packed_dose_batches
+        from dose_prediction_tpu.data.packed import pack_patient, packed_dose_batches
 
-        return packed_dose_batches(train_ds, batch_size=cfg.batch_size,
-                                   seed=cfg.seed + epoch, drop_last=drop_last)
+        patients = getattr(train_ds, "patients", None)
+        if patients is not None and all(
+                pack_patient(p) is not None for p in patients):
+            return packed_dose_batches(train_ds, batch_size=cfg.batch_size,
+                                       seed=cfg.seed + epoch, drop_last=drop_last)
+        print("[feed] dataset not packable (non-binary masks or non-integer "
+              "70*PTV); falling back to the float32 feed")
     return dose_batches(train_ds, batch_size=cfg.batch_size,
                         seed=cfg.seed + epoch, drop_last=drop_last,
                         native_bf16=cfg.feed_dtype == "bfloat16")
+
+
+def _sliding_val_sweep(run, variables, val_ds, val_loss_fn,
+                       val_scale: float) -> Dict[str, float]:
+    """Pipelined sliding-window dose validation shared by the ×80-scale
+    trainers (Exp / ViT-GAN: train_light_{exp_models,gan}.py:218-247):
+    per patient, blended prediction → val loss + masked MAE × val_scale,
+    with patient i+1's sweep dispatched before patient i's host scoring."""
+    from dose_prediction_tpu.infer.pipeline import pipeline_map
+
+    scores, vlosses = [], []
+
+    def produce(p):
+        pred_dev = run(jnp.asarray(p.model_input[None]), variables)
+        return p, pred_dev, val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))
+
+    def consume(staged):
+        p, pred_dev, vloss = staged
+        vlosses.append(float(vloss))
+        pred = np.asarray(pred_dev)[0, ..., 0]
+        post = M.postprocess_prediction(pred, p.dose_mask, scale=val_scale)
+        scores.append(M.dose_score(post, val_scale * p.dose, p.dose_mask))
+
+    for _ in pipeline_map(produce, consume, val_ds.patients):
+        pass
+    return {"mean_dose_score": -float(np.mean(scores)),
+            "val_loss": float(np.mean(vlosses))}
+
+
+def _traced_epoch(iterable, log_dir: Optional[str]):
+    """Wrap one epoch's batch iteration in a jax.profiler trace when
+    ``log_dir`` is set (callers pass cfg.profile_dir for the first epoch
+    only). Early loop exits close the trace via GeneratorExit."""
+    if not log_dir:
+        yield from iterable
+        return
+    from dose_prediction_tpu.utils.profiling import trace
+
+    with trace(log_dir):
+        yield from iterable
 
 
 def _host_mean(losses: List[jax.Array]) -> float:
@@ -471,10 +518,11 @@ class CascadeC3DTrainer:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(
+            for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
                                    drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding):
+                    sharding=self.batch_sharding),
+                    cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
@@ -577,10 +625,11 @@ class HDUNetTrainer:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(
+            for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
                                    drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding):
+                    sharding=self.batch_sharding),
+                    cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
@@ -702,14 +751,15 @@ class TranSegTrainer:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(seg_batches(
+            for batch in _traced_epoch(device_prefetch(seg_batches(
                     train_ds, crop=self.crop, num_samples=num_samples,
                     batch_size=cfg.batch_size, seed=cfg.seed + epoch,
                     drop_last=self.batch_sharding is not None,
                     # seg has no bit-packed format; 'packed' maps to the bf16 CT
                     feed_dtype="bfloat16" if cfg.feed_dtype in ("bfloat16", "packed")
                     else "float32"),
-                    sharding=self.batch_sharding):
+                    sharding=self.batch_sharding),
+                    cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
@@ -804,8 +854,9 @@ class ExpModelTrainer:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
-            for batch in device_prefetch(
-                    _train_batches(cfg, train_ds, epoch, drop_last=False)):
+            for batch in _traced_epoch(device_prefetch(
+                    _train_batches(cfg, train_ds, epoch, drop_last=False)),
+                    cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
@@ -824,27 +875,10 @@ class ExpModelTrainer:
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4) -> Dict[str, float]:
         """Sliding-window val (train_light_exp_models.py:218-247): GenLoss val
         loss on the blended output + masked MAE × val_scale → mean_dose_score."""
-        from dose_prediction_tpu.infer.pipeline import pipeline_map
-
-        run = self._sw_run(sw_batch_size)
-        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        scores, vlosses = [], []
-
-        def produce(p):
-            pred_dev = run(jnp.asarray(p.model_input[None]), variables)
-            return p, pred_dev, self._val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))
-
-        def consume(staged):
-            p, pred_dev, vloss = staged
-            vlosses.append(float(vloss))
-            pred = np.asarray(pred_dev)[0, ..., 0]
-            post = M.postprocess_prediction(pred, p.dose_mask, scale=self.val_scale)
-            scores.append(M.dose_score(post, self.val_scale * p.dose, p.dose_mask))
-
-        for _ in pipeline_map(produce, consume, val_ds.patients):
-            pass
-        return {"mean_dose_score": -float(np.mean(scores)),
-                "val_loss": float(np.mean(vlosses))}
+        return _sliding_val_sweep(
+            self._sw_run(sw_batch_size),
+            {"params": self.state.params, "batch_stats": self.state.batch_stats},
+            val_ds, self._val_loss_fn, self.val_scale)
 
     def test(self, test_ds: OpenKBPDataset, *, sw_batch_size: int = 4,
              with_ivs: bool = True) -> Dict[str, Any]:
@@ -927,8 +961,9 @@ class DoseGANTrainer:
         global_step = int(self.g_state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             g_losses, d_losses = [], []
-            for batch in device_prefetch(
-                    _train_batches(cfg, train_ds, epoch, drop_last=False)):
+            for batch in _traced_epoch(device_prefetch(
+                    _train_batches(cfg, train_ds, epoch, drop_last=False)),
+                    cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(self.g_state, self.d_state, batch)
                 g_losses.append(info["g_loss"])
                 d_losses.append(info["d_loss"])
