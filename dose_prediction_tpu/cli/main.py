@@ -95,21 +95,48 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--t-max", type=int, default=None, help="cosine horizon (steps)")
     tr.add_argument("--eta-min", type=float, default=0.0)
 
+    _DOSE_MODELS = ["pyfer", "c3d", "hdunet", "dosegan", "vitgan", "exp"]
+
     ev = sub.add_parser("eval", help="OpenKBP scoring sweep")
     _add_common(ev)
+    ev.add_argument("--model", choices=_DOSE_MODELS, default="pyfer",
+                    help="which trained dose model the checkpoint belongs to "
+                         "(every reference trainer has a test path, e.g. "
+                         "train_light_c3d.py:245-322)")
     ev.add_argument("--ckpt", required=True)
-    ev.add_argument("--plots-dir", default=None)
+    ev.add_argument("--plots-dir", default=None,
+                    help="write per-patient DVH figures + GT/pred/error slice "
+                         "triptychs here (train_light_pyfer.py:222-263)")
 
     inf = sub.add_parser("infer", help="linked cascade inference on one patient")
     inf.add_argument("--patient", required=True, help="patient directory")
     inf.add_argument("--seg-ckpt", required=True)
     inf.add_argument("--dose-ckpt", required=True)
     inf.add_argument("--out", required=True, help="output dose .nii.gz")
+    inf.add_argument("--seg-mode", choices=["sliding", "dense"], default="sliding",
+                     help="'dense' = one full-volume seg forward (≈2.6× faster "
+                          "serve; validate Dice vs 'sliding' before defaulting)")
+    inf.add_argument("--model-size", choices=["full", "small"], default="full")
+
+    le = sub.add_parser("linked-eval",
+                        help="cohort end-to-end cascade scoring: CT → seg → "
+                             "one-hot OARs → dose, with dose/DVH/IVS scores, "
+                             "DVH plots and slice triptychs "
+                             "(train_light_linked_model.py:138-228)")
+    _add_common(le)
+    le.add_argument("--seg-ckpt", required=True)
+    le.add_argument("--dose-ckpt", required=True)
+    le.add_argument("--plots-dir", default=None)
+    le.add_argument("--roi", type=int, default=96, help="seg sliding-window ROI")
+    le.add_argument("--sw-batch", type=int, default=4)
+    le.add_argument("--seg-mode", choices=["sliding", "dense"], default="sliding")
+    le.add_argument("--no-ivs", action="store_true")
 
     pr = sub.add_parser("predict", help="dose predictions for a cohort → NIfTI "
                         "files (the reference test_step's saved outputs; score "
                         "the directory with evaluation.metrics.score_prediction_dirs)")
     _add_common(pr)
+    pr.add_argument("--model", choices=_DOSE_MODELS, default="pyfer")
     pr.add_argument("--ckpt", required=True, help="dose-model checkpoint")
     pr.add_argument("--out-dir", required=True,
                     help="one <out-dir>/<patient_id>/dose.nii.gz per patient")
@@ -268,50 +295,133 @@ def main(argv=None) -> int:
         trainer.fit(train_ds, val_ds)
         return 0
 
-    if args.cmd == "eval":
+    def restored_dose_trainer(model_name: str, shape):
+        """Trainer + unified ``predict_fn(batch) -> Gy prediction`` for a
+        trained checkpoint of ANY dose model — every reference trainer has a
+        test path (train_light_{pyfer:199,c3d:245,hdunet:165,dosegan:207,
+        gan,exp_models:263}.py), so eval/predict must too."""
         from dose_prediction_tpu.core.checkpoint import restore_checkpoint
-        ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
+
+        small = getattr(args, "model_size", "full") == "small"
         cfg = make_cfg()
-        trainer = PyferTrainer(cfg, model=pyfer_model(),
-                               example_shape=(1, *ds.patients[0].ct.shape, 9))
-        restored = restore_checkpoint(args.ckpt, {"state": trainer.state, "epoch": 0})
-        trainer.state = restored["state"]
-        results = trainer.test(ds)
+        ex = (1, *shape, 9)
+        if model_name == "pyfer":
+            tr = PyferTrainer(cfg, model=pyfer_model(), example_shape=ex)
+        elif model_name == "c3d":
+            from dose_prediction_tpu.models import CascadeC3D
+
+            model = CascadeC3D(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                               list_ch_B=(-1, 2, 4, 8, 16, 32)) if small else None
+            tr = CascadeC3DTrainer(cfg, model=model, example_shape=ex)
+        elif model_name == "hdunet":
+            from dose_prediction_tpu.models import HDUNet
+
+            model = HDUNet(growth_rate=4, upsample_chan=8) if small else None
+            tr = HDUNetTrainer(cfg, model=model, example_shape=ex)
+        elif model_name == "dosegan":
+            kw = {"ngf": 4, "ndf": 4} if small else {}
+            tr = DoseGANTrainer(cfg, example_shape=ex, **kw)
+        elif model_name == "vitgan":
+            from dose_prediction_tpu.train.gan import VitGANTrainer
+
+            tr = VitGANTrainer(cfg, generator=_exp_generator(small),
+                               example_shape=ex)
+        else:  # exp
+            from dose_prediction_tpu.train.trainers import ExpModelTrainer
+
+            tr = ExpModelTrainer(cfg, _exp_generator(small), example_shape=ex)
+
+        if model_name in ("dosegan", "vitgan"):
+            restored = restore_checkpoint(
+                args.ckpt, {"g": tr.g_state, "d": tr.d_state, "epoch": 0})
+            tr.g_state, tr.d_state = restored["g"], restored["d"]
+        else:
+            restored = restore_checkpoint(args.ckpt, {"state": tr.state, "epoch": 0})
+            tr.state = restored["state"]
+
+        if model_name == "pyfer":
+            predict_fn = lambda batch: tr.eval_step(tr.state, batch)["prediction"]
+        elif model_name == "c3d":
+            from dose_prediction_tpu.evaluation import metrics as M
+
+            predict_fn = lambda batch: M.postprocess_prediction_jax(
+                tr._predict(tr.state.params, batch["input"]), batch["gt"][..., 1:2])
+        elif model_name == "hdunet":
+            predict_fn = lambda batch: tr.eval_step(tr.state.params, batch)[2]
+        elif model_name == "dosegan":
+            predict_fn = lambda batch: tr.eval_step(
+                tr.g_state.params, tr.g_state.batch_stats, batch)[2]
+        else:  # vitgan / exp: sliding-window ×val_scale predictions
+            from dose_prediction_tpu.evaluation import metrics as M
+
+            state = tr.g_state if model_name == "vitgan" else tr.state
+            run = tr._sw_run(4)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            predict_fn = lambda batch: M.postprocess_prediction_jax(
+                run(batch["input"], variables), batch["gt"][..., 1:2],
+                scale=tr.val_scale)
+        return tr, predict_fn
+
+    def _exp_generator(small: bool):
+        from dose_prediction_tpu.models.experiments import VitGenerator
+
+        if small:
+            return VitGenerator(hidden_size=24, mlp_dim=48, num_layers=2,
+                                num_heads=2, feature_size=2)
+        return VitGenerator(mode_multi_dec=True, act="mish")
+
+    if args.cmd == "eval":
+        ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
+        trainer, _ = restored_dose_trainer(args.model, ds.patients[0].ct.shape)
+        results = trainer.test(ds, plots_dir=args.plots_dir)
         print(json.dumps({k: v for k, v in results.items() if k != "per_patient"}, indent=2))
-        if args.plots_dir:
-            from dose_prediction_tpu.evaluation.plots import plot_dvh
-            import jax.numpy as jnp
-            import numpy as np
-            for p in ds.patients:
-                batch = {"input": jnp.asarray(p.model_input[None]),
-                         "gt": jnp.asarray(p.gt[None])}
-                pred = np.asarray(trainer.eval_step(trainer.state, batch)["prediction"])[0, ..., 0]
-                plot_dvh(pred, p.real_dose, p.structures,
-                         Path(args.plots_dir) / f"dvh_{p.patient_id}.png")
         return 0
 
     if args.cmd == "predict":
         import jax.numpy as jnp
         import numpy as np
-        from dose_prediction_tpu.core.checkpoint import restore_checkpoint
         from dose_prediction_tpu.data.nifti import write_nifti
 
         ds = OpenKBPDataset(args.data, size=args.size)
-        cfg = make_cfg()
-        trainer = PyferTrainer(cfg, model=pyfer_model(),
-                               example_shape=(1, *ds.patients[0].ct.shape, 9))
-        restored = restore_checkpoint(args.ckpt, {"state": trainer.state, "epoch": 0})
-        trainer.state = restored["state"]
+        _, predict_fn = restored_dose_trainer(args.model, ds.patients[0].ct.shape)
         out_root = Path(args.out_dir)
         for p in ds.patients:
             batch = {"input": jnp.asarray(p.model_input[None]),
                      "gt": jnp.asarray(p.gt[None])}
-            pred = np.asarray(
-                trainer.eval_step(trainer.state, batch)["prediction"])[0, ..., 0]
+            pred = np.asarray(predict_fn(batch))[0, ..., 0]
             out = out_root / p.patient_id
             out.mkdir(parents=True, exist_ok=True)
             write_nifti(out / "dose.nii.gz", pred, spacing=p.spacing)
             print(f"wrote {out / 'dose.nii.gz'}")
+        return 0
+
+    if args.cmd == "linked-eval":
+        from dose_prediction_tpu.train.linked import LinkedModel
+
+        ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
+        seg_model, dose_model = None, None
+        if getattr(args, "model_size", "full") == "small":
+            from dose_prediction_tpu.models import TranSeg
+
+            grid = ((args.roi // 16,) * 3 if args.seg_mode == "dense" else None)
+            seg_model = TranSeg(out_ch=8, feature_size=2, hidden_size=24,
+                                mlp_dim=48, num_layers=4, num_heads=2,
+                                trained_grid=grid)
+            dose_model = pyfer_model()
+        if args.seg_mode == "dense":
+            print("[linked-eval] seg_mode=dense: one full-volume seg forward; "
+                  "exact only when roi >= volume — compare Dice vs "
+                  "--seg-mode sliding before serving with it "
+                  "(docs/PERFORMANCE.md 'dense fast path')")
+        model = LinkedModel(seg_model=seg_model, dose_model=dose_model,
+                            seg_ckpt=args.seg_ckpt, dose_ckpt=args.dose_ckpt,
+                            roi_size=(args.roi,) * 3, sw_batch_size=args.sw_batch,
+                            seg_mode=args.seg_mode)
+        results = model.evaluate(ds, log_dir=args.log_dir,
+                                 plots_dir=args.plots_dir,
+                                 with_ivs=not args.no_ivs)
+        print(json.dumps({k: v for k, v in results.items()
+                          if k not in ("per_patient", "ivs")}, indent=2))
         return 0
 
     if args.cmd == "infer":
@@ -323,12 +433,25 @@ def main(argv=None) -> int:
         from dose_prediction_tpu.infer.cascade import make_cascade_fn
         from dose_prediction_tpu.models import DosePyfer, TranSeg
 
+        from dose_prediction_tpu.core.checkpoint import variables_from_checkpoint
+
         p = load_patient(args.patient)
-        seg = TranSeg()
-        dose = DosePyfer()
-        seg_vars = restore_checkpoint(args.seg_ckpt)
-        dose_vars = restore_checkpoint(args.dose_ckpt)
-        run = make_cascade_fn(seg, seg_vars, dose, dose_vars)
+        if getattr(args, "model_size", "full") == "small":
+            seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24,
+                          mlp_dim=48, num_layers=4, num_heads=2,
+                          trained_grid=((6, 6, 6) if args.seg_mode == "dense"
+                                        else None))
+            dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                             feature_size=2, hidden_size=24, mlp_dim=48,
+                             num_layers=4, num_heads=2)
+        else:
+            seg = TranSeg(trained_grid=((6, 6, 6) if args.seg_mode == "dense"
+                                        else None))
+            dose = DosePyfer()
+        seg_vars = variables_from_checkpoint(restore_checkpoint(args.seg_ckpt))
+        dose_vars = variables_from_checkpoint(restore_checkpoint(args.dose_ckpt))
+        run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                              seg_mode=args.seg_mode)
         out = run(jnp.asarray(p.ct[None, ..., None]),
                   jnp.asarray(p.ptv[None, ..., None]),
                   jnp.asarray(p.dose_mask[None, ..., None]))

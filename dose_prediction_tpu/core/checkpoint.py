@@ -66,6 +66,25 @@ def restore_checkpoint(path: str | Path, target: Optional[Any] = None) -> Any:
         return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=target))
 
 
+def variables_from_checkpoint(tree: Any) -> Any:
+    """Normalize a restored checkpoint tree into flax ``variables``
+    ({'params', 'batch_stats'}) regardless of how it was saved: raw variables,
+    a bare params tree, a trainer slot ({'state': TrainState, 'epoch'}), or a
+    GAN slot ({'g', 'd', 'epoch'} — the generator is taken). Mirrors the
+    reference's tolerance for loading Lightning ckpts into bare modules
+    (train_light_linked_model.py:79-97)."""
+    if not isinstance(tree, dict):
+        return tree
+    if "state" in tree and isinstance(tree["state"], dict):
+        tree = tree["state"]
+    elif "g" in tree and isinstance(tree["g"], dict):
+        tree = tree["g"]
+    if "params" in tree:
+        return {"params": tree["params"],
+                "batch_stats": tree.get("batch_stats") or {}}
+    return {"params": tree, "batch_stats": {}}
+
+
 class CheckpointManager:
     """latest/best-k rotation (ModelCheckpoint(save_last, monitor) parity,
     train_light_pyfer.py:307-312).

