@@ -33,14 +33,20 @@ from dose_prediction_tpu.core.checkpoint import merge_partial
 KeyMap = Callable[[str], Optional[Tuple[str, ...]]]
 
 
-def convert_tensor(name: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
+def convert_tensor(name: str, value: np.ndarray, *,
+                   transposed: bool = False) -> Tuple[str, np.ndarray]:
     """Convert one torch tensor to the flax layout. Returns the flax LEAF name
     ('kernel'/'scale'/'bias'/...) and the converted array. ``name`` is the
-    torch key (used to tell conv 'weight' from norm 'weight' by rank)."""
+    torch key (used to tell conv 'weight' from norm 'weight' by rank).
+    ``transposed`` marks a ConvTranspose3d weight, whose torch layout is
+    (I,O,kD,kH,kW) — ops.conv_transpose3d keeps the conv3d (k..,I,O) IO order
+    and flips internally, so the channel axes swap differently."""
     value = np.asarray(value)
     leaf = name.rsplit(".", 1)[-1]
     if leaf == "weight":
-        if value.ndim == 5:            # Conv3d (O,I,kD,kH,kW) → (kD,kH,kW,I,O)
+        if value.ndim == 5:
+            if transposed:             # ConvTranspose3d (I,O,k..) → (k..,I,O)
+                return "kernel", np.ascontiguousarray(value.transpose(2, 3, 4, 0, 1))
             return "kernel", np.ascontiguousarray(value.transpose(2, 3, 4, 1, 0))
         if value.ndim == 4:            # Conv2d (O,I,kH,kW) → (kH,kW,I,O)
             return "kernel", np.ascontiguousarray(value.transpose(2, 3, 1, 0))
@@ -53,13 +59,17 @@ def convert_tensor(name: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
         return "mean", value
     if leaf == "running_var":
         return "var", value
+    if leaf == "position_embeddings":  # monai ViT pos-embed param → ours
+        return "pos_embedding", value
     return leaf, value
 
 
-def state_dict_to_tree(sd: Dict[str, Any], key_map: KeyMap) -> Dict:
+def state_dict_to_tree(sd: Dict[str, Any], key_map: KeyMap, *,
+                       transposed: Optional[Callable[[str], bool]] = None) -> Dict:
     """Build a nested flax-style dict from a torch state dict. ``key_map``
     translates a torch dotted key (WITHOUT its trailing .weight/.bias leaf)
-    to a flax path tuple, or None to drop the entry."""
+    to a flax path tuple, or None to drop the entry. ``transposed(module_key)``
+    marks modules whose 5-D weights are ConvTranspose3d layouts."""
     nested: Dict = {}
     for key, value in sd.items():
         if key.endswith("num_batches_tracked"):
@@ -68,12 +78,36 @@ def state_dict_to_tree(sd: Dict[str, Any], key_map: KeyMap) -> Dict:
         path = key_map(module_key)
         if path is None:
             continue
-        leaf_name, arr = convert_tensor(key, np.asarray(value))
+        leaf_name, arr = convert_tensor(
+            key, np.asarray(value),
+            transposed=bool(transposed and transposed(module_key)))
         node = nested
         for p in path:
             node = node.setdefault(p, {})
         node[leaf_name] = arr
     return nested
+
+
+def split_batch_stats(tree: Dict) -> Tuple[Dict, Dict]:
+    """Split a converted tree into (params, batch_stats): BatchNorm running
+    'mean'/'var' leaves move to the stats tree (flax keeps them in a separate
+    collection), everything else stays in params."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def walk(src, ppath):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                walk(v, ppath + (k,))
+            else:
+                dst = stats if k in ("mean", "var") else params
+                node = dst
+                for p in ppath:
+                    node = node.setdefault(p, {})
+                node[k] = v
+
+    walk(tree, ())
+    return params, stats
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
@@ -145,3 +179,111 @@ def import_c3d_cascade(sd_or_path, target_params: Any, *,
     sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
     tree = state_dict_to_tree(sd, c3d_key_map)
     return merge_partial(target_params, tree, verbose=verbose)
+
+
+# ---------------------------------------------------------------------------
+# DOSE-PYFER key map (dose_pyfer.py Model :325 module names → models/dose_pyfer
+# flax names). net_A / conv_out_A reuse the C3D patterns; net_B covers the
+# monai-0.7 ViT (patch_embedding/blocks.N/norm), the UnetrBasicBlock skip1 /
+# UnetrPrUpBlock skip2-4 pyramid (dose_pyfer.py:69-113), the
+# ModifiedUnetrUpBlock decoders with seg-family conv_3_1 internals
+# (base_blocks.py:91-141, blocks_MDUNet.py:132-157), and the per-scale 1×1
+# dose convertors (:297-305). The defined-but-unused `out` head (:306) drops.
+# ---------------------------------------------------------------------------
+
+def _res_block_path(prefix: Tuple[str, ...], tail: str) -> Optional[Tuple[str, ...]]:
+    """conv{1,2,3}.conv / norm{1,2,3} of a monai UnetResBlock → our
+    nn/unetr.py UnetResBlock names (convs named; norms flax-auto-numbered)."""
+    m = re.match(r"^conv(\d)\.conv$", tail)
+    if m:
+        return prefix + (f"conv{m[1]}",)
+    m = re.match(r"^norm(\d)$", tail)
+    if m:
+        return prefix + (f"InstanceNorm_{int(m[1]) - 1}",)
+    return None
+
+
+_PYFER_NETB_PATTERNS = [
+    # --- ViT (monai PatchEmbeddingBlock perceptron + pre-norm blocks) ---
+    (re.compile(r"^encoder\.vit\.patch_embedding\.patch_embeddings\.1$"),
+     lambda m: ("encoder", "vit", "patch_embedding", "proj")),
+    (re.compile(r"^encoder\.vit\.patch_embedding$"),   # position_embeddings param
+     lambda m: ("encoder", "vit", "patch_embedding")),
+    (re.compile(r"^encoder\.vit\.blocks\.(\d+)\.(norm1|norm2)$"),
+     lambda m: ("encoder", "vit", f"block{m[1]}", m[2])),
+    (re.compile(r"^encoder\.vit\.blocks\.(\d+)\.attn\.(qkv|out_proj)$"),
+     lambda m: ("encoder", "vit", f"block{m[1]}", "attn", m[2])),
+    (re.compile(r"^encoder\.vit\.blocks\.(\d+)\.mlp\.(linear1|linear2)$"),
+     lambda m: ("encoder", "vit", f"block{m[1]}", "mlp", m[2])),
+    (re.compile(r"^encoder\.vit\.norm$"), lambda m: ("encoder", "vit", "norm")),
+    # --- skip1 (UnetrBasicBlock → UnetResBlock 'layer') ---
+    (re.compile(r"^encoder\.skip1\.layer\.(.+)$"),
+     lambda m: _res_block_path(("encoder", "skip1", "layer"), m[1])),
+    # --- skip2-4 (UnetrPrUpBlock) ---
+    (re.compile(r"^encoder\.(skip[234])\.transp_conv_init\.conv$"),
+     lambda m: ("encoder", m[1], "transp_conv_init")),
+    (re.compile(r"^encoder\.(skip[234])\.blocks\.(\d+)\.0\.conv$"),
+     lambda m: ("encoder", m[1], f"up{m[2]}")),
+    (re.compile(r"^encoder\.(skip[234])\.blocks\.(\d+)\.1\.(.+)$"),
+     lambda m: _res_block_path(("encoder", m[1], f"block{m[2]}"), m[3])),
+    # --- PyMSCDecoder stages (ModifiedUnetrUpBlock, multiS_conv=True) ---
+    (re.compile(r"^decoder\.(decoder[1-4])\.transp_conv\.conv$"),
+     lambda m: ("decoder", m[1], "transp_conv")),
+    # conv_3_1: conv_3 = Sequential(conv_block_3, IN, act) — inner convs at
+    # .0.conv.{0,3}; conv_7 analogous with BatchNorm3d at .0.conv.{1,4}
+    (re.compile(r"^decoder\.(decoder[1-4])\.conv_block\.cov_\.conv_3\.0\.conv\.(0|3)$"),
+     lambda m: ("decoder", m[1], "conv_block", "branch3",
+                "conv0" if m[2] == "0" else "conv1")),
+    (re.compile(r"^decoder\.(decoder[1-4])\.conv_block\.cov_\.conv_7\.0\.conv\.(0|3)$"),
+     lambda m: ("decoder", m[1], "conv_block", "branch7",
+                "conv0" if m[2] == "0" else "conv1")),
+    (re.compile(r"^decoder\.(decoder[1-4])\.conv_block\.cov_\.conv_7\.0\.conv\.(1|4)$"),
+     lambda m: ("decoder", m[1], "conv_block", "branch7",
+                "norm0" if m[2] == "1" else "norm1")),
+    (re.compile(r"^decoder\.(decoder[1-4])\.conv_block\.cov_\.conv\.0$"),
+     lambda m: ("decoder", m[1], "conv_block", "fuse")),
+    # --- deep-supervision heads ---
+    (re.compile(r"^dose_convertors\.(\d)\.0$"),
+     lambda m: (f"dose_convertor{m[1]}",)),
+    # MainSubsetModel.out is constructed but never used in forward (:306,322)
+    (re.compile(r"^out\.0$"), lambda m: None),
+]
+
+
+def pyfer_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for the full DOSE-PYFER cascade."""
+    if module_key.startswith(("net_A.", "conv_out")) or module_key in (
+            "conv_out_A", "conv_out_B"):
+        return c3d_key_map(module_key)
+    if not module_key.startswith("net_B."):
+        return None
+    key = module_key[len("net_B."):]
+    for pattern, build in _PYFER_NETB_PATTERNS:
+        m = pattern.match(key)
+        if m:
+            path = build(m)
+            return None if path is None else ("net_B",) + path
+    return None
+
+
+def pyfer_transposed_key(module_key: str) -> bool:
+    """Modules holding ConvTranspose3d weights in the DOSE-PYFER tree: the
+    UnetrPrUpBlock init/up chain and the decoder transp convs."""
+    return bool(re.search(r"(transp_conv|transp_conv_init)\.conv$", module_key)
+                or re.search(r"\.blocks\.\d+\.0\.conv$", module_key))
+
+
+def import_pyfer(sd_or_path, target_variables: Any, *,
+                 verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import a torch DOSE-PYFER checkpoint (reference Model state dict) into
+    this framework's DosePyfer variables. Returns ({'params', 'batch_stats'},
+    merge stats for the params tree). BatchNorm running stats (the seg-family
+    conv_3_1 k7 branches) land in batch_stats."""
+    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    tree = state_dict_to_tree(sd, pyfer_key_map, transposed=pyfer_transposed_key)
+    p_tree, s_tree = split_batch_stats(tree)
+    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
+    bstats = target_variables.get("batch_stats", {})
+    if s_tree:
+        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
+    return {"params": params, "batch_stats": bstats}, stats
