@@ -31,6 +31,11 @@ class Flags:
         if self.use_pallas_instance_norm == "auto":
             return channels >= 128 and n_spatial >= (1 << 18) and on_tpu()
         return False
+    # Route same-size k3 convs (C==Cout ∈ {16,32,64}, stride/dil 1) through
+    # the Pallas direct kernel (kernels/conv3d.py): '0' off (default — the
+    # decomposed XLA path measured at/above it in-model, docs/PERFORMANCE.md
+    # round-4 study), '1' = 256-lane band, 'tight' = (F+2)·C band.
+    use_pallas_conv3d: str = os.environ.get("DPT_PALLAS_CONV", "0")
     # Default compute dtype name for models ('bfloat16' on TPU, 'float32' off).
     compute_dtype: str = os.environ.get("DPT_COMPUTE_DTYPE", "bfloat16")
 

@@ -214,6 +214,24 @@ def conv3d(
     use_lanefold = method == "lanefold"
     if use_lanefold:
         return _conv3d_lanefold(x, w, b, padding, dilation, accum_dtype)
+    # Pallas direct k3 kernel — opt-in via method='pallas' or the
+    # DPT_PALLAS_CONV flag ('1' = 256-lane band, 'tight' = (F+2)·C band).
+    # In-model measurement on the seg sweep: docs/PERFORMANCE.md round-4.
+    pallas_mode = None
+    if method == "pallas":
+        pallas_mode = "1"
+    elif method == "auto":
+        from dose_prediction_tpu.core.config import FLAGS
+
+        if FLAGS.use_pallas_conv3d in ("1", "tight"):
+            pallas_mode = FLAGS.use_pallas_conv3d
+    if (pallas_mode is not None and groups == 1
+            and w.shape[:3] == (3, 3, 3) and stride == (1, 1, 1)
+            and dilation == (1, 1, 1) and padding == (1, 1, 1)
+            and x.shape[-1] == w.shape[-1] and x.shape[-1] in (16, 32, 64)):
+        from dose_prediction_tpu.kernels.conv3d import conv3d_k3
+
+        return conv3d_k3(x, w, b, tight_band=pallas_mode == "tight")
     use_decomp = method == "decomposed" or (
         method == "auto" and groups == 1 and (kd >= 3 or dilation[0] > 1)
     )

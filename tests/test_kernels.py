@@ -103,3 +103,21 @@ def test_pallas_conv3d_k3_grad(rng):
         conv3d(x, w_, None, padding=1, method="xla"))))(w)
     g2 = jax.grad(lambda w_: jnp.sum(jnp.sin(conv3d_k3(x, w_, None, interpret=True))))(w)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=2e-3, atol=2e-4)
+
+
+def test_conv3d_pallas_routing_matches_decomposed(rng):
+    """ops.conv3d(method='pallas') routes eligible k3 convs through the
+    Pallas kernel (interpret mode off-TPU) with exact-path parity; ineligible
+    shapes fall back to the standard paths."""
+    from dose_prediction_tpu.ops.conv import conv3d
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((3, 3, 3, 16, 16)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+    ref = conv3d(x, w, b, padding=1, method="decomposed")
+    got = conv3d(x, w, b, padding=1, method="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # ineligible (stride 2) → falls back, still correct
+    got2 = conv3d(x, w, b, padding=1, stride=2, method="pallas")
+    ref2 = conv3d(x, w, b, padding=1, stride=2, method="auto")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=1e-5, atol=1e-5)

@@ -106,3 +106,64 @@ def test_vit_pos_embed_grid_adaptation():
     t_adapt, _ = vit_adapted.apply(v, x32)
     np.testing.assert_allclose(np.asarray(t_plain), np.asarray(t_adapt),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mlflow_export_replays_jsonl(tmp_path):
+    """MLflow shim (reference MLFlowLogger parity surface,
+    train_light_pyfer.py:316-326): replay a metrics.jsonl into a (fake)
+    tracking client preserving keys and steps; live mirror forwards log()."""
+    import contextlib
+
+    from dose_prediction_tpu.utils.logging import MetricLogger
+    from dose_prediction_tpu.utils.mlflow_export import MlflowMirror, export_jsonl
+
+    logger = MetricLogger(tmp_path, run_name="pyfer", mirror_stdout=False)
+    logger.log({"train_mean_loss": 1.5}, 1)
+    logger.log({"mean_dose_score": -2.5, "val_loss": 0.3}, 5)
+    logger.close()
+
+    class FakeMlflow:
+        def __init__(self):
+            self.metrics = []
+            self.uri = None
+            self.runs = []
+
+        def set_tracking_uri(self, uri):
+            self.uri = uri
+
+        def set_experiment(self, name):
+            self.experiment = name
+
+        @contextlib.contextmanager
+        def start_run(self, run_name=None):
+            self.runs.append(run_name)
+            yield
+
+        def log_metric(self, k, v, step=0):
+            self.metrics.append((k, v, step))
+
+        def end_run(self):
+            pass
+
+    fake = FakeMlflow()
+    n = export_jsonl(tmp_path / "metrics.jsonl", tracking_uri="http://x",
+                     experiment="dose", client=fake)
+    assert n == 3
+    assert fake.uri == "http://x"
+    assert fake.runs == ["pyfer"]
+    assert ("train_mean_loss", 1.5, 1) in fake.metrics
+    assert ("mean_dose_score", -2.5, 5) in fake.metrics
+
+    # live mirror: a second logger wrapped with the fake client
+    class FakeRunCtx(FakeMlflow):
+        def start_run(self, run_name=None):   # mirror keeps the run open
+            self.runs.append(run_name)
+            return None
+
+    fake2 = FakeRunCtx()
+    base = MetricLogger(tmp_path / "m2", run_name="c3d", mirror_stdout=False)
+    mirror = MlflowMirror(base, client=fake2)
+    mirror.log({"train_mean_loss": 0.7}, 2)
+    assert ("train_mean_loss", 0.7, 2) in fake2.metrics
+    assert (tmp_path / "m2" / "metrics.jsonl").exists()
+    mirror.close()
