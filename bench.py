@@ -1,10 +1,26 @@
 """Benchmark: end-to-end 128³ cascade inference on one TPU chip.
 
 The north-star metric (BASELINE.md): full-patient cascade — sliding-window
-OAR-TranSeg over the CT (96³ ROI, sw_batch 4) → one-hot OARs → concat →
-DOSE-PYFER dose map → masked ×70 post-process — as one jit program, p50
-latency per patient. Baseline target: 1.0 s/chip on v5e ⇒
-vs_baseline = baseline_p50 / measured_p50 (higher is better).
+OAR-TranSeg over the CT (96³ ROI, sw_batch 8) → one-hot OARs → concat →
+DOSE-PYFER dose map → masked ×70 post-process — p50 latency per patient.
+Baseline target: 1.0 s/chip on v5e ⇒ vs_baseline = baseline_p50 / measured_p50
+(higher is better).
+
+Compile-time policy (VERDICT r3 #1): the serve graphs can cold-compile in
+tens of minutes on XLA-TPU (BENCH_r03: 1336.9 s), so the repo SHIPS the
+compiled serve programs two ways and bench loads the first that works:
+
+1. AOT executables (``artifacts/serve_aot/*.pkl``,
+   jax.experimental.serialize_executable — no cache-key matching, loads in
+   milliseconds; built by scripts/build_serve_aot.py);
+2. persistent-compilation-cache entries (``artifacts/serve_cache/``) seeded
+   into the live ``.jax_cache`` — measured: cache keys are stable across
+   processes within a tunnel session but can rotate across sessions, which
+   is why the AOT path exists;
+3. plain jit compile as the final fallback.
+
+The JSON line reports per-stage compile seconds, which path served each
+stage, and the seed stats — warm and cold numbers can never be conflated.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -12,30 +28,73 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
-
 BASELINE_P50_S = 1.0  # north-star: <1 s per 128^3 patient per chip (BASELINE.md)
+REPO = Path(__file__).resolve().parent
+# DPT_CACHE_DIR override exists so the seeded-cold path is testable without
+# touching the live cache (point it at an empty dir → only the shipped
+# artifact entries are available).
+CACHE_DIR = Path(os.environ.get("DPT_CACHE_DIR", REPO / ".jax_cache"))
+SEED_DIR = REPO / "artifacts" / "serve_cache"
+AOT_DIR = REPO / "artifacts" / "serve_aot"
+
+
+def load_aot(name: str):
+    """Deserialize a shipped serve executable; None when absent/incompatible
+    (callers fall back to the compile path)."""
+    import pickle
+
+    path = AOT_DIR / f"{name}.pkl"
+    if not path.exists() or os.environ.get("DPT_NO_AOT") == "1":
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return se.deserialize_and_load(*payload)
+    except Exception as e:  # stale jax/libtpu or foreign topology: recompile
+        print(f"[bench] AOT load failed for {name}: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
+def seed_cache() -> dict:
+    """Copy shipped serve-program cache entries into the live compile cache.
+    Returns {"shipped": N, "seeded": copied, "already_present": skipped}."""
+    stats = {"shipped": 0, "seeded": 0, "already_present": 0}
+    if not SEED_DIR.is_dir():
+        return stats
+    CACHE_DIR.mkdir(exist_ok=True)
+    for src in SEED_DIR.glob("*-cache"):
+        stats["shipped"] += 1
+        dst = CACHE_DIR / src.name
+        if dst.exists():
+            stats["already_present"] += 1
+        else:
+            shutil.copyfile(src, dst)
+            stats["seeded"] += 1
+    return stats
 
 
 def main() -> None:
+    cache_stats = seed_cache()
+
     import jax
 
-    # Persistent compilation cache: the cascade graph contains hundreds of
-    # distinct 3D convs whose XLA-TPU compiles dominate cold-start (~40 min);
-    # with the cache, recompiles are O(seconds).
-    from pathlib import Path
-
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).resolve().parent / ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 
-    from dose_prediction_tpu.infer.cascade import make_cascade_fn
+    from dose_prediction_tpu.infer.cascade import make_cascade_stages
     from dose_prediction_tpu.models import DosePyfer, TranSeg
 
     dtype = jnp.bfloat16
@@ -50,20 +109,51 @@ def main() -> None:
     seg_vars = jax.jit(seg.init)(jax.random.PRNGKey(1), jnp.zeros((1, 96, 96, 96, 1), dtype))
     dose_vars = jax.jit(dose.init)(jax.random.PRNGKey(2), jnp.zeros((1, 128, 128, 128, 9), dtype))
 
-    # sw_batch_size is a pure performance knob (the overlap blend is exact
-    # for any batching); 8 puts all windows of the 128³ grid in one predictor
-    # call: measured 425 -> 377 ms for the sweep vs sw=4.
-    run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
-                          roi_size=(96, 96, 96), sw_batch_size=8)
-
     def sync(x):
         # On the axon remote backend block_until_ready returns before the
         # computation finishes; a scalar host read is the reliable barrier.
         return float(jnp.sum(x.astype(jnp.float32)))
 
-    t0 = time.perf_counter()
-    sync(run(ct, ptv, mask))
-    compile_s = time.perf_counter() - t0
+    # sw_batch_size is a pure performance knob (the overlap blend is exact
+    # for any batching); 8 puts all windows of the 128³ grid in one predictor
+    # call: measured 425 -> 377 ms for the sweep vs sw=4.
+    stage1, stage2 = make_cascade_stages(seg, dose, roi_size=(96, 96, 96),
+                                         sw_batch_size=8)
+
+    # per stage: shipped AOT executable first, else lower+compile (hits the
+    # seeded persistent cache when the session's keys match) — compile_sN is
+    # the wall time of whichever path ran, path recorded in `aot`
+    aot_used = {}
+
+    def get_program(name, build_fn, example_args):
+        t0 = time.perf_counter()
+        c = load_aot(name)
+        aot_used[name] = c is not None
+        if c is not None:
+            try:  # guard a stale artifact with a drifted input signature
+                c(*example_args)
+            except Exception as e:
+                print(f"[bench] AOT {name} rejected at call time: {e}",
+                      file=sys.stderr)
+                aot_used[name] = False
+                c = None
+        if c is None:
+            c = build_fn()
+        return c, time.perf_counter() - t0
+
+    c1, compile_s1 = get_program(
+        "stage1", lambda: jax.jit(stage1).lower(seg_vars, ct, ptv).compile(),
+        (seg_vars, ct, ptv))
+    structures = c1(seg_vars, ct, ptv)
+    c2, compile_s2 = get_program(
+        "stage2",
+        lambda: jax.jit(stage2).lower(dose_vars, structures, mask).compile(),
+        (dose_vars, structures, mask))
+    sync(c2(dose_vars, structures, mask))
+    compile_s = compile_s1 + compile_s2
+
+    def run(ct, ptv, mask):
+        return c2(dose_vars, c1(seg_vars, ct, ptv), mask)
 
     n_iters = 10
     times = []
@@ -87,15 +177,19 @@ def main() -> None:
     # dense fast path (extra, NOT the headline): one full-volume seg forward
     # via pos-embed grid adaptation instead of the 8-window sweep — the sweep
     # recomputes ~2.4× of the conv work at this geometry. Accuracy vs the
-    # sliding path must be validated on real data before serving with it.
+    # sliding path must be validated on real data before serving with it
+    # (mechanism-level Dice gate: tests/test_dense_gate.py).
     seg_dense = TranSeg(out_ch=8, dtype=dtype, trained_grid=(6, 6, 6))
-    run_dense = make_cascade_fn(seg_dense, seg_vars, dose, dose_vars,
-                                seg_mode="dense")
-    sync(run_dense(ct, ptv, mask))
+    stage1_d, _ = make_cascade_stages(seg_dense, dose, seg_mode="dense")
+    c1d, compile_s_dense = get_program(
+        "stage1_dense",
+        lambda: jax.jit(stage1_d).lower(seg_vars, ct, ptv).compile(),
+        (seg_vars, ct, ptv))
+    sync(c2(dose_vars, c1d(seg_vars, ct, ptv), mask))
     dense_times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        sync(run_dense(ct, ptv, mask))
+        sync(c2(dose_vars, c1d(seg_vars, ct, ptv), mask))
         dense_times.append(time.perf_counter() - t0)
     dense_p50 = float(np.percentile(dense_times, 50))
 
@@ -109,6 +203,11 @@ def main() -> None:
         "sweep_volumes_per_sec": round(sweep_vps, 3),
         "dense_fastpath_p50_s": round(dense_p50, 6),
         "compile_s": round(compile_s, 1),
+        "compile_s_stage1": round(compile_s1, 1),
+        "compile_s_stage2": round(compile_s2, 1),
+        "compile_s_dense": round(compile_s_dense, 1),
+        "aot": aot_used,
+        "cache": cache_stats,
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
