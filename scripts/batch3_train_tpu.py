@@ -41,6 +41,12 @@ def main() -> int:
     ap.add_argument("--f32", action="store_true",
                     help="use the float32 feed instead of packed (control for "
                          "compile-helper failures)")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="micro-batch accumulation (optax.MultiSteps): each "
+                         "device step stays at --batch, one optimizer update "
+                         "per k steps — effective batch = k * batch. The "
+                         "route to batch>=3 while the remote compile helper "
+                         "rejects every device-batch>=2 graph.")
     args = ap.parse_args()
 
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
@@ -67,7 +73,8 @@ def main() -> int:
                         jax.numpy.float32))
     tx = S.make_optimizer(
         learning_rate=1e-4,
-        freeze_labels=S.cascade_freeze_labels(variables["params"]))
+        freeze_labels=S.cascade_freeze_labels(variables["params"]),
+        grad_accum=args.grad_accum)
     state = S.create_train_state(variables, tx)
     step = STEP.make_pyfer_train_step(model, tx, freeze=True,
                                       packed=not args.f32)
@@ -81,7 +88,8 @@ def main() -> int:
 
     t0 = time.perf_counter()
     result = {"batch": args.batch, "remat_blocks": remat,
-              "packed": not args.f32, "ok": False}
+              "packed": not args.f32, "grad_accum": args.grad_accum,
+              "effective_batch": args.batch * args.grad_accum, "ok": False}
     try:
         n = 0
         first_done = None
