@@ -10,9 +10,10 @@ Compile-time policy (VERDICT r3 #1): the serve graphs can cold-compile in
 tens of minutes on XLA-TPU (BENCH_r03: 1336.9 s), so the repo SHIPS the
 compiled serve programs two ways and bench loads the first that works:
 
-1. AOT executables (``artifacts/serve_aot/*.pkl``,
-   jax.experimental.serialize_executable — no cache-key matching, loads in
-   milliseconds; built by scripts/build_serve_aot.py);
+1. AOT executables (``artifacts/serve_aot/*.pkl``, loaded through
+   dose_prediction_tpu.infer.aot — the same loader the product serve path
+   uses; no cache-key matching, loads in milliseconds; built by
+   scripts/build_serve_aot.py);
 2. persistent-compilation-cache entries (``artifacts/serve_cache/``) seeded
    into the live ``.jax_cache`` — measured: cache keys are stable across
    processes within a tunnel session but can rotate across sessions, which
@@ -43,27 +44,6 @@ REPO = Path(__file__).resolve().parent
 # artifact entries are available).
 CACHE_DIR = Path(os.environ.get("DPT_CACHE_DIR", REPO / ".jax_cache"))
 SEED_DIR = REPO / "artifacts" / "serve_cache"
-AOT_DIR = REPO / "artifacts" / "serve_aot"
-
-
-def load_aot(name: str):
-    """Deserialize a shipped serve executable; None when absent/incompatible
-    (callers fall back to the compile path)."""
-    import pickle
-
-    path = AOT_DIR / f"{name}.pkl"
-    if not path.exists() or os.environ.get("DPT_NO_AOT") == "1":
-        return None
-    try:
-        from jax.experimental import serialize_executable as se
-
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        return se.deserialize_and_load(*payload)
-    except Exception as e:  # stale jax/libtpu or foreign topology: recompile
-        print(f"[bench] AOT load failed for {name}: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        return None
 
 
 def seed_cache() -> dict:
@@ -122,24 +102,17 @@ def main() -> None:
 
     # per stage: shipped AOT executable first, else lower+compile (hits the
     # seeded persistent cache when the session's keys match) — compile_sN is
-    # the wall time of whichever path ran, path recorded in `aot`
+    # the wall time of whichever path ran, path recorded in `aot`.
+    # infer.aot is the same loader the product serve path uses
+    # (make_cascade_fn(aot=True) → CLI --serve-dtype bfloat16).
+    from dose_prediction_tpu.infer import aot as A
+
     aot_used = {}
 
     def get_program(name, build_fn, example_args):
-        t0 = time.perf_counter()
-        c = load_aot(name)
-        aot_used[name] = c is not None
-        if c is not None:
-            try:  # guard a stale artifact with a drifted input signature
-                c(*example_args)
-            except Exception as e:
-                print(f"[bench] AOT {name} rejected at call time: {e}",
-                      file=sys.stderr)
-                aot_used[name] = False
-                c = None
-        if c is None:
-            c = build_fn()
-        return c, time.perf_counter() - t0
+        c, seconds, used = A.get_program(name, build_fn, example_args)
+        aot_used[name] = used
+        return c, seconds
 
     c1, compile_s1 = get_program(
         "stage1", lambda: jax.jit(stage1).lower(seg_vars, ct, ptv).compile(),

@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="'dense' = one full-volume seg forward (≈2.6× faster "
                           "serve; validate Dice vs 'sliding' before defaulting)")
     inf.add_argument("--model-size", choices=["full", "small"], default="full")
+    inf.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
+                     default="float32",
+                     help="'bfloat16' = TPU serving config: bf16 activations "
+                          "(params stay f32) + the shipped pre-compiled serve "
+                          "executables (artifacts/serve_aot/) — cold start in "
+                          "seconds instead of minutes; 'float32' keeps "
+                          "reference numerics and always jit-compiles")
 
     le = sub.add_parser("linked-eval",
                         help="cohort end-to-end cascade scoring: CT → seg → "
@@ -131,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
     le.add_argument("--sw-batch", type=int, default=4)
     le.add_argument("--seg-mode", choices=["sliding", "dense"], default="sliding")
     le.add_argument("--no-ivs", action="store_true")
+    le.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="'bfloat16' = TPU serving config: bf16 activations + "
+                         "shipped AOT serve executables when the geometry "
+                         "matches (--sw-batch 8 for the shipped sweep)")
 
     pr = sub.add_parser("predict", help="dose predictions for a cohort → NIfTI "
                         "files (the reference test_step's saved outputs; score "
@@ -416,7 +428,8 @@ def main(argv=None) -> int:
         model = LinkedModel(seg_model=seg_model, dose_model=dose_model,
                             seg_ckpt=args.seg_ckpt, dose_ckpt=args.dose_ckpt,
                             roi_size=(args.roi,) * 3, sw_batch_size=args.sw_batch,
-                            seg_mode=args.seg_mode)
+                            seg_mode=args.seg_mode,
+                            serve_dtype=getattr(args, "serve_dtype", "float32"))
         results = model.evaluate(ds, log_dir=args.log_dir,
                                  plots_dir=args.plots_dir,
                                  with_ivs=not args.no_ivs)
@@ -436,22 +449,28 @@ def main(argv=None) -> int:
         from dose_prediction_tpu.core.checkpoint import variables_from_checkpoint
 
         p = load_patient(args.patient)
+        serve_bf16 = getattr(args, "serve_dtype", "float32") == "bfloat16"
+        dtype = jnp.bfloat16 if serve_bf16 else jnp.float32
         if getattr(args, "model_size", "full") == "small":
             seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24,
                           mlp_dim=48, num_layers=4, num_heads=2,
                           trained_grid=((6, 6, 6) if args.seg_mode == "dense"
-                                        else None))
+                                        else None), dtype=dtype)
             dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
                              feature_size=2, hidden_size=24, mlp_dim=48,
-                             num_layers=4, num_heads=2)
+                             num_layers=4, num_heads=2, dtype=dtype)
         else:
             seg = TranSeg(trained_grid=((6, 6, 6) if args.seg_mode == "dense"
-                                        else None))
-            dose = DosePyfer()
+                                        else None), dtype=dtype)
+            dose = DosePyfer(dtype=dtype)
         seg_vars = variables_from_checkpoint(restore_checkpoint(args.seg_ckpt))
         dose_vars = variables_from_checkpoint(restore_checkpoint(args.dose_ckpt))
+        # the shipped AOT sweep was built at sw_batch 8 (bench geometry)
         run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
-                              seg_mode=args.seg_mode)
+                              seg_mode=args.seg_mode,
+                              sw_batch_size=8 if serve_bf16 else 4,
+                              aot=serve_bf16,
+                              input_dtype=dtype if serve_bf16 else None)
         out = run(jnp.asarray(p.ct[None, ..., None]),
                   jnp.asarray(p.ptv[None, ..., None]),
                   jnp.asarray(p.dose_mask[None, ..., None]))

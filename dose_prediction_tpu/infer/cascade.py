@@ -105,6 +105,8 @@ def make_cascade_fn(
     dose_scale: float = 70.0,
     fuse: bool = False,
     seg_mode: str = "sliding",
+    aot: bool = False,
+    input_dtype=None,
 ) -> Callable[[jax.Array, jax.Array, jax.Array], jax.Array]:
     """Build the linked inference program.
 
@@ -112,24 +114,54 @@ def make_cascade_fn(
         ct, ptv, dose_mask: ``(1, D, H, W, 1)``;
         dose_gy: ``(1, D, H, W, 1)`` in Gy, masked and clamped like the
         reference post-process (:171-173).
+
+    ``aot=True`` tries the shipped pre-compiled serve executables
+    (infer.aot, artifacts/serve_aot/) before jit — cold-start seconds
+    instead of minutes when the configuration matches what was shipped
+    (full-size bf16 models, 128³ volumes, the default sweep geometry); any
+    mismatch falls back to jit on the first call. ``input_dtype`` casts
+    ct/ptv/dose_mask before dispatch (the shipped programs take bfloat16
+    volumes; checkpoint params stay float32 either way).
     """
     stage1, stage2 = make_cascade_stages(
         seg_model, dose_model, num_oar_classes=num_oar_classes,
         roi_size=roi_size, sw_batch_size=sw_batch_size, overlap=overlap,
         dose_scale=dose_scale, seg_mode=seg_mode)
 
+    def cast(x):
+        return x.astype(input_dtype) if input_dtype is not None else x
+
     if fuse:
         fused = jax.jit(lambda sv, dv, ct, ptv, mask: stage2(dv, stage1(sv, ct, ptv), mask))
 
         def run(ct, ptv, dose_mask):
-            return fused(seg_variables, dose_variables, ct, ptv, dose_mask)
+            return fused(seg_variables, dose_variables, cast(ct), cast(ptv),
+                         cast(dose_mask))
 
         return run
 
-    stage1_jit = jax.jit(stage1)
-    stage2_jit = jax.jit(stage2)
+    stage1_fn: Callable = jax.jit(stage1)
+    stage2_fn: Callable = jax.jit(stage2)
+    if aot:
+        from dose_prediction_tpu.infer.aot import SHIPPED, LazyAOTStage
+
+        shipped_geometry = (
+            num_oar_classes == SHIPPED["num_oar_classes"]
+            and dose_scale == SHIPPED["dose_scale"]
+        )
+        stage1_shipped = shipped_geometry and (
+            seg_mode == "dense"
+            or (tuple(roi_size) == SHIPPED["roi_size"]
+                and sw_batch_size == SHIPPED["sw_batch_size"]
+                and overlap == SHIPPED["overlap"]))
+        if stage1_shipped:
+            name1 = "stage1_dense" if seg_mode == "dense" else "stage1"
+            stage1_fn = LazyAOTStage(name1, stage1_fn)
+        if shipped_geometry:
+            stage2_fn = LazyAOTStage("stage2", stage2_fn)
 
     def run(ct: jax.Array, ptv: jax.Array, dose_mask: jax.Array) -> jax.Array:
-        return stage2_jit(dose_variables, stage1_jit(seg_variables, ct, ptv), dose_mask)
+        return stage2_fn(dose_variables, stage1_fn(seg_variables, cast(ct), cast(ptv)),
+                         cast(dose_mask))
 
     return run

@@ -42,19 +42,27 @@ class LinkedModel:
         roi_size: Sequence[int] = (96, 96, 96),
         sw_batch_size: int = 4,
         seg_mode: str = "sliding",
+        serve_dtype: str = "float32",
     ):
         """``seg_mode='dense'`` replaces the stage-1 sliding-window sweep with
         ONE full-volume seg forward (pos-embed grid adaptation; ~2.6× faster
         serve — infer/cascade.py): the default seg model is then built with
-        ``trained_grid = roi/patch`` so a roi-trained checkpoint loads."""
+        ``trained_grid = roi/patch`` so a roi-trained checkpoint loads.
+
+        ``serve_dtype='bfloat16'`` runs the cascade with bfloat16 activations
+        (checkpoint params stay float32 — layers cast at use) and tries the
+        shipped pre-compiled serve executables (infer.aot) before jit: the
+        TPU serving configuration, cold-start in seconds. float32 keeps
+        reference-numerics parity and always jit-compiles."""
+        dtype = jnp.bfloat16 if serve_dtype == "bfloat16" else jnp.float32
         if seg_model is None:
             if seg_mode == "dense":
                 grid = tuple(int(r) // TranSeg.patch_size for r in roi_size)
-                seg_model = TranSeg(trained_grid=grid)
+                seg_model = TranSeg(trained_grid=grid, dtype=dtype)
             else:
-                seg_model = TranSeg()
+                seg_model = TranSeg(dtype=dtype)
         self.seg_model = seg_model
-        self.dose_model = dose_model if dose_model is not None else DosePyfer()
+        self.dose_model = dose_model if dose_model is not None else DosePyfer(dtype=dtype)
         if seg_variables is None:
             if seg_ckpt is None:
                 raise ValueError("need seg_variables or seg_ckpt")
@@ -65,7 +73,9 @@ class LinkedModel:
             dose_variables = C.variables_from_checkpoint(C.restore_checkpoint(dose_ckpt))
         self.run = make_cascade_fn(
             self.seg_model, seg_variables, self.dose_model, dose_variables,
-            roi_size=roi_size, sw_batch_size=sw_batch_size, seg_mode=seg_mode)
+            roi_size=roi_size, sw_batch_size=sw_batch_size, seg_mode=seg_mode,
+            aot=serve_dtype == "bfloat16",
+            input_dtype=dtype if serve_dtype == "bfloat16" else None)
 
     def predict_patient(self, patient) -> np.ndarray:
         """Full cascade on one Patient record → dose map in Gy (D,H,W)."""
