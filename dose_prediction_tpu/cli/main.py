@@ -153,6 +153,31 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--out-dir", required=True,
                     help="one <out-dir>/<patient_id>/dose.nii.gz per patient")
 
+    it = sub.add_parser(
+        "import-torch",
+        help="convert a reference torch checkpoint (NetworkTrainer .pkl, "
+             "Lightning .ckpt, or bare state dict) into a framework "
+             "checkpoint servable by eval/predict/infer/linked-eval "
+             "(core/torch_import.py) — the migration path for reference-"
+             "trained weights")
+    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg"], required=True,
+                    help="which reference network the source holds")
+    it.add_argument("--src", required=True, help="torch checkpoint path")
+    it.add_argument("--dest", required=True, help="output checkpoint directory")
+    it.add_argument("--model-size", choices=["full", "small"], default="full")
+    it.add_argument("--block-family", choices=["seg", "old", "ablation"],
+                    default="old",
+                    help="transeg flavor the source was trained with; the "
+                         "reference's mode_model=1 trains the OldModels "
+                         "TRANSEG flavor (train_light_transeg.py:20) = 'old'")
+    it.add_argument("--volume-size", type=int, default=128,
+                    help="dose-model init volume (pyfer/c3d)")
+    it.add_argument("--roi", type=int, default=96, help="transeg init volume")
+    it.add_argument("--strict", action="store_true",
+                    help="fail if any target leaf was not covered by the "
+                         "source (default mirrors the reference's "
+                         "strict=False surgery, dose_pyfer.py:394-407)")
+
     tu = sub.add_parser("tune", help="ASHA hyperparameter search")
     _add_common(tu)
     tu.add_argument("--num-samples", type=int, default=10)
@@ -234,6 +259,59 @@ def main(argv=None) -> int:
                              num_layers=4, num_heads=2,
                              act=act, multiS_conv=multiS_conv, remat_blocks=remat)
         return DosePyfer(act=act, multiS_conv=multiS_conv, remat_blocks=remat)
+
+    if args.cmd == "import-torch":
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from dose_prediction_tpu.core import torch_import as TI
+        from dose_prediction_tpu.core.checkpoint import save_checkpoint
+
+        small = args.model_size == "small"
+        if args.kind == "transeg":
+            from dose_prediction_tpu.models import TranSeg
+
+            model = (TranSeg(out_ch=8, feature_size=2, hidden_size=24,
+                             mlp_dim=48, num_layers=4, num_heads=2,
+                             block_family=args.block_family) if small
+                     else TranSeg(block_family=args.block_family))
+            shape = (1, args.roi, args.roi, args.roi, 1)
+        else:
+            model = pyfer_model() if args.kind == "pyfer" else None
+            if model is None:
+                from dose_prediction_tpu.models import CascadeC3D
+
+                model = (CascadeC3D(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                                    list_ch_B=(-1, 2, 4, 8, 16, 32)) if small
+                         else CascadeC3D())
+            s = args.volume_size
+            shape = (1, s, s, s, 9)
+        # target leaves as zeros via eval_shape: merge_partial only needs
+        # shapes/dtypes, so no real init forward is ever run
+        abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                                  jnp.zeros(shape, jnp.float32))
+        variables = jax.tree.map(lambda t: np.zeros(t.shape, t.dtype), abstract)
+        sd = TI.load_torch_checkpoint(args.src)
+        if args.kind == "pyfer":
+            imported, stats = TI.import_pyfer(sd, variables)
+        elif args.kind == "transeg":
+            imported, stats = TI.import_transeg(sd, variables)
+        else:
+            params, stats = TI.import_c3d_cascade(sd, variables["params"])
+            imported = {"params": params,
+                        "batch_stats": variables.get("batch_stats", {})}
+        print(f"[import-torch] {args.kind}: copied {stats['copied']} / "
+              f"inside {stats['inside']}, missing {stats['missing']}, "
+              f"unused {stats['unused']}")
+        if args.strict and stats["missing"]:
+            print("[import-torch] --strict: leaves not covered by the source",
+                  file=sys.stderr)
+            return 1
+        save_checkpoint(args.dest, imported)
+        print(f"[import-torch] wrote {args.dest}")
+        return 0
 
     if args.cmd == "train":
         cfg = make_cfg()

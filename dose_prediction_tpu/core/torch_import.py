@@ -251,7 +251,11 @@ _PYFER_NETB_PATTERNS = [
 
 
 def pyfer_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
-    """Torch dotted module key → flax path for the full DOSE-PYFER cascade."""
+    """Torch dotted module key → flax path for the full DOSE-PYFER cascade.
+    Lightning-module 'model_.' prefixes (Pyfer holds its net as self.model_,
+    train_light_pyfer.py:73) are stripped."""
+    if module_key.startswith("model_."):
+        module_key = module_key[len("model_."):]
     if module_key.startswith(("net_A.", "conv_out")) or module_key in (
             "conv_out_A", "conv_out_B"):
         return c3d_key_map(module_key)
@@ -271,6 +275,104 @@ def pyfer_transposed_key(module_key: str) -> bool:
     UnetrPrUpBlock init/up chain and the decoder transp convs."""
     return bool(re.search(r"(transp_conv|transp_conv_init)\.conv$", module_key)
                 or re.search(r"\.blocks\.\d+\.0\.conv$", module_key))
+
+
+# ---------------------------------------------------------------------------
+# OAR-TranSeg key map (oar_transeg.py Model :14-185 / OldModels TRANSEG module
+# names → models/transeg.py flax names). Both reference variants share the
+# module skeleton — vit / encoder1-4 / decoder5-2 / out — and differ only in
+# which blocks_MDUNet copy the decoders import (train_light_transeg.py:93-124):
+# Models/ (seg flavor: Sequential-wrapped conv_3_1 branches, IN inner norms
+# without params, fuse at `conv.0`) vs OldModels/ (BatchNorm conv blocks,
+# bare branches `conv_3.conv.*`, bare fuse `conv`). The patterns below accept
+# both spellings; BatchNorm running stats land in batch_stats. The
+# DualDilatedBlock (multiS_conv=False) branch keys `conv_{3,5,7}.conv.*` are
+# covered by the same optional-`.0` patterns.
+# ---------------------------------------------------------------------------
+
+_TRANSEG_PATTERNS = [
+    # --- ViT (monai PatchEmbeddingBlock perceptron + pre-norm blocks) ---
+    (re.compile(r"^vit\.patch_embedding\.patch_embeddings\.1$"),
+     lambda m: ("vit", "patch_embedding", "proj")),
+    (re.compile(r"^vit\.patch_embedding$"),   # position_embeddings param
+     lambda m: ("vit", "patch_embedding")),
+    (re.compile(r"^vit\.blocks\.(\d+)\.(norm1|norm2)$"),
+     lambda m: ("vit", f"block{m[1]}", m[2])),
+    (re.compile(r"^vit\.blocks\.(\d+)\.attn\.(qkv|out_proj)$"),
+     lambda m: ("vit", f"block{m[1]}", "attn", m[2])),
+    (re.compile(r"^vit\.blocks\.(\d+)\.mlp\.(linear1|linear2)$"),
+     lambda m: ("vit", f"block{m[1]}", "mlp", m[2])),
+    (re.compile(r"^vit\.norm$"), lambda m: ("vit", "norm")),
+    # --- encoder1 (UnetrBasicBlock → UnetResBlock 'layer') ---
+    (re.compile(r"^encoder1\.layer\.(.+)$"),
+     lambda m: _res_block_path(("encoder1", "layer"), m[1])),
+    # --- encoder2-4 (UnetrPrUpBlock) ---
+    (re.compile(r"^(encoder[234])\.transp_conv_init\.conv$"),
+     lambda m: (m[1], "transp_conv_init")),
+    (re.compile(r"^(encoder[234])\.blocks\.(\d+)\.0\.conv$"),
+     lambda m: (m[1], f"up{m[2]}")),
+    (re.compile(r"^(encoder[234])\.blocks\.(\d+)\.1\.(.+)$"),
+     lambda m: _res_block_path((m[1], f"block{m[2]}"), m[3])),
+    # --- decoder5-2 (ModifiedUnetrUpBlock) ---
+    (re.compile(r"^(decoder[2-5])\.transp_conv\.conv$"),
+     lambda m: (m[1], "transp_conv")),
+    # branch convs: seg conv_3_1 wraps branches in Sequential ('.0.'), the
+    # OldModels copy and DualDilatedBlock branches are bare — both accepted
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv_3(?:\.0)?\.conv\.(0|3)$"),
+     lambda m: (m[1], "conv_block", "branch3",
+                "conv0" if m[2] == "0" else "conv1")),
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv_3(?:\.0)?\.conv\.(1|4)$"),
+     lambda m: (m[1], "conv_block", "branch3",
+                "norm0" if m[2] == "1" else "norm1")),
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv_5\.conv\.(0|3)$"),
+     lambda m: (m[1], "conv_block", "branch5",
+                "conv0" if m[2] == "0" else "conv1")),
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv_5\.conv\.(1|4)$"),
+     lambda m: (m[1], "conv_block", "branch5",
+                "norm0" if m[2] == "1" else "norm1")),
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv_7(?:\.0)?\.conv\.(0|3)$"),
+     lambda m: (m[1], "conv_block", "branch7",
+                "conv0" if m[2] == "0" else "conv1")),
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv_7(?:\.0)?\.conv\.(1|4)$"),
+     lambda m: (m[1], "conv_block", "branch7",
+                "norm0" if m[2] == "1" else "norm1")),
+    # 1×1 fuse: Sequential '.0' in Models/, bare in OldModels
+    (re.compile(r"^(decoder[2-5])\.conv_block\.cov_\.conv(?:\.0)?$"),
+     lambda m: (m[1], "conv_block", "fuse")),
+    # --- 1×1 out head (ModifiedUnetOutBlock: monai Convolution 'conv') ---
+    (re.compile(r"^out\.conv\.conv$"), lambda m: ("out", "conv")),
+]
+
+
+def transeg_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for OAR-TranSeg (both the Models/
+    'seg' flavor and the OldModels TRANSEG 'old' flavor). Lightning-module
+    '_model.' prefixes (train_light_transeg.py:126-146 surgery) are stripped."""
+    key = module_key
+    if key.startswith("_model."):
+        key = key[len("_model."):]
+    for pattern, build in _TRANSEG_PATTERNS:
+        m = pattern.match(key)
+        if m:
+            return build(m)
+    return None
+
+
+def import_transeg(sd_or_path, target_variables: Any, *,
+                   verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import a torch OAR-TranSeg checkpoint (reference Model / OldModels
+    TRANSEG state dict, bare or Lightning-wrapped) into this framework's
+    TranSeg variables. Returns ({'params', 'batch_stats'}, merge stats).
+    BatchNorm running stats (k7 branches in the 'seg' family; every conv
+    block in the 'old' family) land in batch_stats."""
+    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    tree = state_dict_to_tree(sd, transeg_key_map, transposed=pyfer_transposed_key)
+    p_tree, s_tree = split_batch_stats(tree)
+    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
+    bstats = target_variables.get("batch_stats", {})
+    if s_tree:
+        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
+    return {"params": params, "batch_stats": bstats}, stats
 
 
 def import_pyfer(sd_or_path, target_variables: Any, *,

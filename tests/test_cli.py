@@ -234,3 +234,70 @@ def test_cli_linked_eval(tmp_path):
     payload = json.loads(out[out.index("{"):])
     assert np.isfinite(payload["mean_dose_score"])
     assert list((tmp_path / "plots").glob("dvh_*.png"))
+
+
+def test_parser_import_torch_flags():
+    ap = build_parser()
+    args = ap.parse_args(["import-torch", "--kind", "transeg", "--src", "s",
+                          "--dest", "d", "--block-family", "old", "--roi", "32"])
+    assert args.cmd == "import-torch" and args.block_family == "old"
+    assert args.roi == 32 and not args.strict
+    args = ap.parse_args(["import-torch", "--kind", "c3d", "--src", "s",
+                          "--dest", "d", "--volume-size", "32", "--strict"])
+    assert args.volume_size == 32 and args.strict
+
+
+@pytest.mark.slow
+def test_cli_import_torch_c3d(tmp_path):
+    """The migration path: a reference NetworkTrainer pickle converts to a
+    framework checkpoint that eval/infer can serve (network_trainer.py:349-356
+    format; surgery semantics dose_pyfer.py:394-407)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.cli.main import main
+    from dose_prediction_tpu.core.checkpoint import (
+        restore_checkpoint,
+        variables_from_checkpoint,
+    )
+    from dose_prediction_tpu.models import CascadeC3D
+    import test_torch_import as TT
+
+    LIST_CH = (-1, 2, 4, 8, 16, 32)
+    torch.manual_seed(0)
+    tmodel = TT._torch_cascade(LIST_CH, in_ch=9)
+    src = tmp_path / "C3D_iter80000.pkl"
+    torch.save({"network_state_dict": tmodel.state_dict()}, src)
+
+    dest = tmp_path / "converted"
+    rc = main(["import-torch", "--kind", "c3d", "--model-size", "small",
+               "--volume-size", "32", "--src", str(src), "--dest", str(dest)])
+    assert rc == 0
+
+    variables = variables_from_checkpoint(restore_checkpoint(dest))
+    model = CascadeC3D(out_ch=1, list_ch_A=LIST_CH, list_ch_B=LIST_CH)
+    # 32^3: the 5-level U-Net bottoms out at 2^3 (torch InstanceNorm rejects
+    # single-spatial-element inputs); random input (a constant field makes
+    # InstanceNorm divide by ~0 variance — useless as a parity probe)
+    xn = np.random.default_rng(0).standard_normal(
+        (1, 32, 32, 32, 9)).astype(np.float32)
+    out_a, out_b = model.apply(variables, jnp.asarray(xn))
+    assert out_a.shape == (1, 32, 32, 32, 1)
+    assert bool(jnp.isfinite(out_b).all())
+    # parity with the torch source on the same input
+    tmodel.eval()
+    with torch.no_grad():
+        ta, tb = tmodel(torch.from_numpy(xn.transpose(0, 4, 1, 2, 3)))
+    np.testing.assert_allclose(np.asarray(out_b)[0, ..., 0], tb.numpy()[0, 0],
+                               rtol=1e-3, atol=1e-4)
+
+    # --strict fails when the source covers only part of the target
+    partial = {k: v for k, v in tmodel.state_dict().items()
+               if k.startswith("net_A.")}
+    src2 = tmp_path / "partial.pkl"
+    torch.save({"network_state_dict": partial}, src2)
+    rc = main(["import-torch", "--kind", "c3d", "--model-size", "small",
+               "--volume-size", "32", "--src", str(src2), "--strict",
+               "--dest", str(tmp_path / "converted2")])
+    assert rc == 1
