@@ -160,8 +160,10 @@ def build_parser() -> argparse.ArgumentParser:
              "checkpoint servable by eval/predict/infer/linked-eval "
              "(core/torch_import.py) — the migration path for reference-"
              "trained weights")
-    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg"], required=True,
-                    help="which reference network the source holds")
+    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg", "unetr"],
+                    required=True,
+                    help="which reference network the source holds ('unetr' "
+                         "= the seg task's mode_model=0 plain MONAI UNETR)")
     it.add_argument("--src", required=True, help="torch checkpoint path")
     it.add_argument("--dest", required=True, help="output checkpoint directory")
     it.add_argument("--model-size", choices=["full", "small"], default="full")
@@ -278,6 +280,13 @@ def main(argv=None) -> int:
                              block_family=args.block_family) if small
                      else TranSeg(block_family=args.block_family))
             shape = (1, args.roi, args.roi, args.roi, 1)
+        elif args.kind == "unetr":
+            from dose_prediction_tpu.models import UNETR
+
+            model = (UNETR(out_ch=8, feature_size=2, hidden_size=24,
+                           mlp_dim=48, num_layers=4, num_heads=2) if small
+                     else UNETR())
+            shape = (1, args.roi, args.roi, args.roi, 1)
         else:
             model = pyfer_model() if args.kind == "pyfer" else None
             if model is None:
@@ -298,6 +307,8 @@ def main(argv=None) -> int:
             imported, stats = TI.import_pyfer(sd, variables)
         elif args.kind == "transeg":
             imported, stats = TI.import_transeg(sd, variables)
+        elif args.kind == "unetr":
+            imported, stats = TI.import_unetr(sd, variables)
         else:
             params, stats = TI.import_c3d_cascade(sd, variables["params"])
             imported = {"params": params,

@@ -290,7 +290,9 @@ def pyfer_transposed_key(module_key: str) -> bool:
 # covered by the same optional-`.0` patterns.
 # ---------------------------------------------------------------------------
 
-_TRANSEG_PATTERNS = [
+# shared between TranSeg and the plain MONAI UNETR: the ViT trunk and the
+# UnetrBasicBlock/UnetrPrUpBlock skip encoders (identical module names)
+_SEG_COMMON_PATTERNS = [
     # --- ViT (monai PatchEmbeddingBlock perceptron + pre-norm blocks) ---
     (re.compile(r"^vit\.patch_embedding\.patch_embeddings\.1$"),
      lambda m: ("vit", "patch_embedding", "proj")),
@@ -313,6 +315,9 @@ _TRANSEG_PATTERNS = [
      lambda m: (m[1], f"up{m[2]}")),
     (re.compile(r"^(encoder[234])\.blocks\.(\d+)\.1\.(.+)$"),
      lambda m: _res_block_path((m[1], f"block{m[2]}"), m[3])),
+]
+
+_TRANSEG_PATTERNS = _SEG_COMMON_PATTERNS + [
     # --- decoder5-2 (ModifiedUnetrUpBlock) ---
     (re.compile(r"^(decoder[2-5])\.transp_conv\.conv$"),
      lambda m: (m[1], "transp_conv")),
@@ -356,6 +361,46 @@ def transeg_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
         if m:
             return build(m)
     return None
+
+
+_UNETR_PATTERNS = _SEG_COMMON_PATTERNS + [
+    # --- decoder5-2 (plain UnetrUpBlock, res_block=True:
+    #     transp conv + UnetResBlock 'conv_block') ---
+    (re.compile(r"^(decoder[2-5])\.transp_conv\.conv$"),
+     lambda m: (m[1], "transp_conv")),
+    (re.compile(r"^(decoder[2-5])\.conv_block\.(.+)$"),
+     lambda m: _res_block_path((m[1], "conv_block"), m[2])),
+    # --- 1×1 out head (monai UnetOutBlock: Convolution 'conv') ---
+    (re.compile(r"^out\.conv\.conv$"), lambda m: ("out",)),
+]
+
+
+def unetr_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for the plain MONAI UNETR
+    (train_light_transeg.py:93-107, mode_model=0). Lightning '_model.'
+    prefixes are stripped."""
+    key = module_key
+    if key.startswith("_model."):
+        key = key[len("_model."):]
+    for pattern, build in _UNETR_PATTERNS:
+        m = pattern.match(key)
+        if m:
+            return build(m)
+    return None
+
+
+def import_unetr(sd_or_path, target_variables: Any, *,
+                 verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import a torch MONAI-UNETR checkpoint (bare or Lightning-wrapped) into
+    this framework's models.unetr.UNETR variables."""
+    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    tree = state_dict_to_tree(sd, unetr_key_map, transposed=pyfer_transposed_key)
+    p_tree, s_tree = split_batch_stats(tree)
+    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
+    bstats = target_variables.get("batch_stats", {})
+    if s_tree:
+        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
+    return {"params": params, "batch_stats": bstats}, stats
 
 
 def import_transeg(sd_or_path, target_variables: Any, *,

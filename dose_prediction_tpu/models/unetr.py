@@ -1,9 +1,10 @@
 """Plain MONAI UNETR — the seg-task mode_model=0 network
 (OARSegmentation/train_light_transeg.py:93-107): ViT patch-16 encoder with
 hidden-state taps at layers 3/6/9, UnetrBasicBlock + UnetrPrUpBlock skip
-encoders, plain UnetrUpBlock decoders, 1×1 out head (MONAI UNETR semantics,
-feature_size=16, hidden 768, mlp 3072, 12 heads, perceptron pos-embed,
-instance norm, res blocks, dropout 0).
+encoders, UnetrUpBlock decoders with res_block=True (the trainer's setting —
+UnetResBlock conv stages, not basic blocks), 1×1 out head (MONAI UNETR
+semantics, feature_size=16, hidden 768, mlp 3072, 12 heads, perceptron
+pos-embed, instance norm, dropout 0).
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ class UNETR(fnn.Module):
     pos_embed: str = "perceptron"
     norm: str = "instance"
     patch_size: int = 16
+    res_block: bool = True       # the trainer passes res_block=True (:104)
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -54,8 +56,8 @@ class UNETR(fnn.Module):
         enc4 = UnetrPrUpBlock(fs * 8, num_layer=0, norm=self.norm, dtype=self.dtype,
                               name="encoder4")(unpatchify_tokens(hidden[i * 3], grid))
         dec4 = unpatchify_tokens(z_final, grid)
-        dec3 = UnetrUpBlock(fs * 8, norm=self.norm, dtype=self.dtype, name="decoder5")(dec4, enc4)
-        dec2 = UnetrUpBlock(fs * 4, norm=self.norm, dtype=self.dtype, name="decoder4")(dec3, enc3)
-        dec1 = UnetrUpBlock(fs * 2, norm=self.norm, dtype=self.dtype, name="decoder3")(dec2, enc2)
-        out = UnetrUpBlock(fs, norm=self.norm, dtype=self.dtype, name="decoder2")(dec1, enc1)
+        dec3 = UnetrUpBlock(fs * 8, norm=self.norm, res_block=self.res_block, dtype=self.dtype, name="decoder5")(dec4, enc4)
+        dec2 = UnetrUpBlock(fs * 4, norm=self.norm, res_block=self.res_block, dtype=self.dtype, name="decoder4")(dec3, enc3)
+        dec1 = UnetrUpBlock(fs * 2, norm=self.norm, res_block=self.res_block, dtype=self.dtype, name="decoder3")(dec2, enc2)
+        out = UnetrUpBlock(fs, norm=self.norm, res_block=self.res_block, dtype=self.dtype, name="decoder2")(dec1, enc1)
         return Conv3D(self.out_ch, 1, padding=0, dtype=self.dtype, name="out")(out)

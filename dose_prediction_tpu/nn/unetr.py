@@ -117,12 +117,19 @@ class UnetrPrUpBlock(fnn.Module):
 
 
 class UnetrUpBlock(fnn.Module):
-    """Plain UNETR decoder stage (dose_pyfer.py:164-230, mode_multi=False)."""
+    """Plain UNETR decoder stage (dose_pyfer.py:164-230, mode_multi=False).
+
+    ``res_block`` mirrors the MONAI knob: False (the MONAI default — every
+    dose-side usage, dose_pyfer.py:164 / models_experiments.py:408,1189)
+    uses UnetBasicBlock; True (the seg-task UNETR,
+    train_light_transeg.py:104) uses UnetResBlock, whose concat input
+    (2×features) triggers the conv3/norm3 downsample branch."""
 
     features: int
     kernel_size: int = 3
     upsample_kernel_size: int = 2
     norm: str = "instance"
+    res_block: bool = False
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -131,8 +138,9 @@ class UnetrUpBlock(fnn.Module):
         x = ConvTranspose3D(self.features, up, stride=up, use_bias=False,
                             dtype=self.dtype, name="transp_conv")(x)
         x = jnp.concatenate([x, skip], axis=-1)
-        return UnetBasicBlock(self.features, self.kernel_size, 1, self.norm,
-                              dtype=self.dtype, name="conv_block")(x)
+        cls = UnetResBlock if self.res_block else UnetBasicBlock
+        return cls(self.features, self.kernel_size, 1, self.norm,
+                   dtype=self.dtype, name="conv_block")(x)
 
 
 class ModifiedUnetrUpBlock(fnn.Module):

@@ -317,3 +317,69 @@ def test_transeg_golden_gradient_parity():
 
     compare(tgrad_tree, jgrads, ())
     assert checked[0] > 100
+
+
+# ---------------------------------------------------------------------------
+# plain MONAI UNETR (mode_model=0, train_light_transeg.py:93-107): res_block
+# decoders (UnetResBlock conv stages — the monai UNETR is built with
+# res_block=True, unlike every dose-side UnetrUpBlock usage)
+# ---------------------------------------------------------------------------
+
+class _UnetrUpBlockRes(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.transp_conv = TG._ConvOnly(cin, cout, 2, 2, transposed=True)
+        self.conv_block = TG._UnetResBlock(2 * cout, cout)
+
+    def forward(self, inp, skip):
+        return self.conv_block(torch.cat((self.transp_conv(inp), skip), dim=1))
+
+
+class _UNETR(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.feat_size = (SIZE // PATCH,) * 3
+        self.vit = TG._ViT(IN_CH, SIZE, PATCH, HIDDEN, MLP, LAYERS, HEADS)
+        self.encoder1 = TG._UnetrBasicBlock(IN_CH, FS)
+        self.encoder2 = TG._UnetrPrUpBlock(HIDDEN, FS * 2, 2)
+        self.encoder3 = TG._UnetrPrUpBlock(HIDDEN, FS * 4, 1)
+        self.encoder4 = TG._UnetrPrUpBlock(HIDDEN, FS * 8, 0)
+        self.decoder5 = _UnetrUpBlockRes(HIDDEN, FS * 8)
+        self.decoder4 = _UnetrUpBlockRes(FS * 8, FS * 4)
+        self.decoder3 = _UnetrUpBlockRes(FS * 4, FS * 2)
+        self.decoder2 = _UnetrUpBlockRes(FS * 2, FS)
+        self.out = _OutBlock(FS, OUT_CH)
+
+    def proj_feat(self, x):
+        x = x.view([x.size(0)] + list(self.feat_size) + [HIDDEN])
+        return x.permute(0, 4, 1, 2, 3).contiguous()
+
+    def forward(self, x_in):
+        i = LAYERS // 4
+        z, hidden = self.vit(x_in)
+        enc1 = self.encoder1(x_in)
+        enc2 = self.encoder2(self.proj_feat(hidden[i]))
+        enc3 = self.encoder3(self.proj_feat(hidden[i * 2]))
+        enc4 = self.encoder4(self.proj_feat(hidden[i * 3]))
+        dec3 = self.decoder5(self.proj_feat(z), enc4)
+        dec2 = self.decoder4(dec3, enc3)
+        dec1 = self.decoder3(dec2, enc2)
+        return self.out(self.decoder2(dec1, enc1))
+
+
+@pytest.mark.slow
+def test_unetr_golden_forward_parity():
+    from dose_prediction_tpu.models import UNETR
+
+    torch.manual_seed(4)
+    tmodel = _UNETR()
+    model = UNETR(out_ch=OUT_CH, feature_size=FS, hidden_size=HIDDEN,
+                  mlp_dim=MLP, num_layers=LAYERS, num_heads=HEADS)
+    x = np.random.default_rng(4).standard_normal(
+        (1, SIZE, SIZE, SIZE, IN_CH)).astype(np.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    imported, stats = TI.import_unetr(sd, variables, verbose=False)
+    assert stats["missing"] == 0, "some flax param leaves were not imported"
+    assert stats["copied"] == stats["inside"]
+    _assert_forward_parity(tmodel, model, imported, x)
