@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(tr)
     tr.add_argument("--pretrained-c3d", default=None,
                     help="checkpoint dir of a trained C3D cascade (net_A surgery)")
+    tr.add_argument("--pretrained-critic", default=None,
+                    help="vitgan: MedicalNet resnet_10 torch pickle for the "
+                         "critic; its leaves stay frozen until the unfreeze "
+                         "epoch (train_light_gan.py:136-141)")
+    tr.add_argument("--unfreeze-epoch", type=int, default=10,
+                    help="vitgan: epoch at which the critic fully unfreezes "
+                         "(FineTuneCB, train_light_gan.py:85-96)")
     tr.add_argument("--no-freeze", action="store_true")
     tr.add_argument("--delta1", type=float, default=10.0)
     tr.add_argument("--delta2", type=float, default=8.0)
@@ -160,7 +167,7 @@ def build_parser() -> argparse.ArgumentParser:
              "checkpoint servable by eval/predict/infer/linked-eval "
              "(core/torch_import.py) — the migration path for reference-"
              "trained weights")
-    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg", "unetr"],
+    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg", "unetr", "resnet10"],
                     required=True,
                     help="which reference network the source holds ('unetr' "
                          "= the seg task's mode_model=0 plain MONAI UNETR)")
@@ -287,6 +294,12 @@ def main(argv=None) -> int:
                            mlp_dim=48, num_layers=4, num_heads=2) if small
                      else UNETR())
             shape = (1, args.roi, args.roi, args.roi, 1)
+        elif args.kind == "resnet10":
+            from dose_prediction_tpu.models.experiments import ResNet3D
+
+            model = (ResNet3D(widths=(4, 8, 16, 32)) if small else ResNet3D())
+            s = args.volume_size
+            shape = (1, s, s, s, 1)
         else:
             model = pyfer_model() if args.kind == "pyfer" else None
             if model is None:
@@ -309,6 +322,8 @@ def main(argv=None) -> int:
             imported, stats = TI.import_transeg(sd, variables)
         elif args.kind == "unetr":
             imported, stats = TI.import_unetr(sd, variables)
+        elif args.kind == "resnet10":
+            imported, stats = TI.import_resnet10(sd, variables)
         else:
             params, stats = TI.import_c3d_cascade(sd, variables["params"])
             imported = {"params": params,
@@ -384,7 +399,10 @@ def main(argv=None) -> int:
             # pyfer-tuned value, which would be wrong for the GANs)
             gan_kw = ({"g_lr": args.lr, "d_lr": args.lr}
                       if args.lr != _DEFAULT_LR else {})
-            trainer = VitGANTrainer(cfg, example_shape=(1, *shape, 9), **gan_kw)
+            trainer = VitGANTrainer(cfg, example_shape=(1, *shape, 9),
+                                    unfreeze_epoch=args.unfreeze_epoch,
+                                    pretrained_critic=args.pretrained_critic,
+                                    **gan_kw)
         elif args.model == "exp":
             from dose_prediction_tpu.models.experiments import VitGenerator
             from dose_prediction_tpu.train.trainers import ExpModelTrainer

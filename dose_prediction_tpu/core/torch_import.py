@@ -420,6 +420,54 @@ def import_transeg(sd_or_path, target_variables: Any, *,
     return {"params": params, "batch_stats": bstats}, stats
 
 
+# ---------------------------------------------------------------------------
+# MedicalNet / MONAI ResNet key map (the GAN discriminator backbone:
+# create_pretrained_medical_resnet, models_experiments.py:1555-1588, loads a
+# MedicalNet resnet_10 pth into a MONAI ResNet by shared key names — conv1 /
+# bn1 / layer{1-4}.{i}.{conv,bn}{1,2} / downsample.{0,1} / fc). Maps onto
+# models/experiments.py ResNet3D (stem/stage{S}_block{i}/fc). MedicalNet
+# pickles carry no fc (segmentation pretrain) — those leaves stay at init,
+# matching the reference's strict=False load.
+# ---------------------------------------------------------------------------
+
+_RESNET_PATTERNS = [
+    (re.compile(r"^conv1$"), lambda m: ("stem",)),
+    (re.compile(r"^bn1$"), lambda m: ("stem_bn",)),
+    (re.compile(r"^layer(\d)\.(\d+)\.(conv1|conv2|bn1|bn2)$"),
+     lambda m: (f"stage{int(m[1]) - 1}_block{m[2]}", m[3])),
+    (re.compile(r"^layer(\d)\.(\d+)\.downsample\.0$"),
+     lambda m: (f"stage{int(m[1]) - 1}_block{m[2]}", "downsample")),
+    (re.compile(r"^layer(\d)\.(\d+)\.downsample\.1$"),
+     lambda m: (f"stage{int(m[1]) - 1}_block{m[2]}", "bn_down")),
+    (re.compile(r"^fc$"), lambda m: ("fc",)),
+]
+
+
+def resnet10_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for MedicalNet/MONAI 3D ResNets
+    ('module.' DataParallel prefixes are stripped by load_torch_checkpoint)."""
+    for pattern, build in _RESNET_PATTERNS:
+        m = pattern.match(module_key)
+        if m:
+            return build(m)
+    return None
+
+
+def import_resnet10(sd_or_path, target_variables: Any, *,
+                    verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import MedicalNet/MONAI ResNet weights into models.experiments.ResNet3D
+    variables (the VitGAN critic's pretrained-discriminator path,
+    train_light_gan.py:124-138). BatchNorm running stats land in batch_stats."""
+    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    tree = state_dict_to_tree(sd, resnet10_key_map)
+    p_tree, s_tree = split_batch_stats(tree)
+    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
+    bstats = target_variables.get("batch_stats", {})
+    if s_tree:
+        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
+    return {"params": params, "batch_stats": bstats}, stats
+
+
 def import_pyfer(sd_or_path, target_variables: Any, *,
                  verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
     """Import a torch DOSE-PYFER checkpoint (reference Model state dict) into

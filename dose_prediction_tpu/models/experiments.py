@@ -631,7 +631,10 @@ class ResNet3D(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, train: bool = True) -> jax.Array:
-        h = Conv3D(64, 7, stride=2, padding=3, use_bias=False, dtype=self.dtype, name="stem")(x)
+        # MONAI resnet10 defaults: conv1 out=block_inplanes[0], kernel 7³,
+        # stride (conv1_t_stride=1, 2, 2)
+        h = Conv3D(self.widths[0], 7, stride=(1, 2, 2), padding=3, use_bias=False,
+                   dtype=self.dtype, name="stem")(x)
         h = BatchNorm(name="stem_bn")(h, use_running_average=not train)
         h = ops.relu(h)
         h = ops.max_pool3d(jnp.pad(h, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),

@@ -31,10 +31,16 @@ from dose_prediction_tpu.utils.logging import MetricLogger
 
 def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
                            delta3: float = 0.01, delta1: float = 10.0,
-                           delta2: float = 1.0, packed: bool = False):
+                           delta2: float = 1.0, packed: bool = False,
+                           d_freeze_mask=None):
     """One jit program running a G update and (conditionally) a D update;
     ``train_d`` implements the FineTuneCB freeze window. ``packed=True``
-    takes the bit-packed feed and unpacks it on device (data/packed.py)."""
+    takes the bit-packed feed and unpacks it on device (data/packed.py).
+    ``d_freeze_mask`` is a critic-params-shaped tree of python bools marking
+    MedicalNet-pretrained leaves; with ``freeze_d=True`` their updates are
+    zeroed — the requires_grad=False-until-unfreeze semantics of
+    train_light_gan.py:139-141 (mask leaves are static, so frozen updates
+    compile away)."""
 
     def g_apply(gp, gs, x):
         return generator.apply({"params": gp, "batch_stats": gs}, x,
@@ -61,8 +67,9 @@ def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
                       + L.bce_with_logits(fake_logits, jnp.zeros_like(fake_logits)))
         return loss, upd2["batch_stats"]
 
-    @partial(jax.jit, static_argnames=("train_d",), donate_argnums=(0, 1))
-    def step(g_state: TrainState, d_state: TrainState, batch, train_d: bool = True):
+    @partial(jax.jit, static_argnames=("train_d", "freeze_d"), donate_argnums=(0, 1))
+    def step(g_state: TrainState, d_state: TrainState, batch,
+             train_d: bool = True, freeze_d: bool = False):
         if packed:
             from dose_prediction_tpu.data.packed import unpack_dose_batch
 
@@ -81,6 +88,10 @@ def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
             (d_loss, d_stats), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 d_state.params, d_state.batch_stats, g_state, batch)
             d_updates, d_opt = d_tx.update(d_grads, d_state.opt_state, d_state.params)
+            if freeze_d and d_freeze_mask is not None:
+                d_updates = jax.tree.map(
+                    lambda u, frozen: jnp.zeros_like(u) if frozen else u,
+                    d_updates, d_freeze_mask)
             d_state = d_state.replace(
                 step=d_state.step + 1,
                 params=optax.apply_updates(d_state.params, d_updates),
@@ -90,6 +101,34 @@ def make_vitgan_train_step(generator, discriminator, g_tx, d_tx, *,
         return g_state, d_state, {"g_loss": g_loss, "d_loss": d_loss}
 
     return step
+
+
+def _load_pretrained_critic(path: str, d_vars):
+    """create_pretrained_medical_resnet for the TPU critic
+    (train_light_gan.py:136-141 / models_experiments.py:1555-1588): convert a
+    MedicalNet torch pickle, merge it into the ResNet-10 variables with
+    strict=False semantics, and return the per-leaf 'pretrained' mask used to
+    freeze those leaves until the FineTuneCB unfreeze epoch. MedicalNet
+    segmentation pretrains carry no fc — those leaves stay at init and keep
+    training from epoch 0, exactly as requires_grad partitioning does."""
+    import jax.tree_util as jtu
+
+    from dose_prediction_tpu.core import torch_import as TI
+    from dose_prediction_tpu.core.checkpoint import flatten_params, merge_partial
+
+    sd = TI.load_torch_checkpoint(path)
+    tree = TI.state_dict_to_tree(sd, TI.resnet10_key_map)
+    p_tree, s_tree = TI.split_batch_stats(tree)
+    params, stats = merge_partial(d_vars["params"], p_tree)
+    bstats = d_vars.get("batch_stats", {})
+    if s_tree:
+        bstats, _ = merge_partial(bstats, s_tree)
+    src = flatten_params(p_tree)
+    tgt = flatten_params(d_vars["params"])
+    flat_mask = [k in src and tuple(np.shape(src[k])) == tuple(np.shape(v))
+                 for k, v in tgt.items()]
+    mask = jtu.tree_unflatten(jtu.tree_structure(d_vars["params"]), flat_mask)
+    return {"params": params, "batch_stats": bstats}, mask, stats
 
 
 class VitGANTrainer:
@@ -104,7 +143,9 @@ class VitGANTrainer:
                  unfreeze_epoch: int = 10, delta3: float = 2.0,
                  g_lr: float = 1e-4, d_lr: float = 5e-3,
                  val_scale: float = 80.0, init_type: Optional[str] = None,
-                 init_gain: float = 0.02):
+                 init_gain: float = 0.02,
+                 pretrained_critic: Optional[str] = None,
+                 discriminator=None):
         # reference defaults: delta3=2, G_lr=10e-5, D_lr=5·10e-4, Adam8bit
         # optimizers (train_light_gan.py:104-107,250-251; cfg.optimizer
         # selects adam8bit here too)
@@ -116,22 +157,24 @@ class VitGANTrainer:
         self.val_scale = val_scale
         self.roi_size = tuple(example_shape[1:4])  # roi = IMAGE_SIZE³ (:219-222)
         self.gen = generator if generator is not None else VitGenerator()
-        self.disc = resnet10(num_classes=1)
+        self.disc = discriminator if discriminator is not None else resnet10(num_classes=1)
         gx = jnp.zeros(example_shape, jnp.float32)
         dx = jnp.zeros((*example_shape[:-1], 1), jnp.float32)
         g_vars = jax.jit(self.gen.init)(jax.random.PRNGKey(cfg.seed), gx)
         d_vars = jax.jit(self.disc.init)(jax.random.PRNGKey(cfg.seed + 1), dx)
         if init_type is not None:
-            # pix2pix-style re-init of BOTH nets (init_weights,
-            # train_light_gan.py:145-146)
+            # pix2pix-style re-init of the GENERATOR only (init_weights,
+            # train_light_gan.py:145-146 — the critic keeps its MedicalNet /
+            # default init)
             from dose_prediction_tpu.nn.init import reinit_weights
 
             g_vars = {**g_vars, "params": reinit_weights(
                 g_vars["params"], jax.random.PRNGKey(cfg.seed + 2),
                 init_type=init_type, init_gain=init_gain)}
-            d_vars = {**d_vars, "params": reinit_weights(
-                d_vars["params"], jax.random.PRNGKey(cfg.seed + 3),
-                init_type=init_type, init_gain=init_gain)}
+        self.d_frozen_mask = None
+        if pretrained_critic is not None:
+            d_vars, self.d_frozen_mask, _ = _load_pretrained_critic(
+                pretrained_critic, d_vars)
         self.g_tx = S.make_optimizer(learning_rate=g_lr, kind=cfg.optimizer)
         self.d_tx = S.make_optimizer(learning_rate=d_lr, kind=cfg.optimizer)
         # generator carries the ViT → Megatron tp rules apply; the ResNet
@@ -145,7 +188,8 @@ class VitGANTrainer:
         self.step = make_vitgan_train_step(self.gen, self.disc, self.g_tx, self.d_tx,
                                            delta3=delta3, delta1=cfg.delta1,
                                            delta2=cfg.delta2,
-                                           packed=cfg.feed_dtype == "packed")
+                                           packed=cfg.feed_dtype == "packed",
+                                           d_freeze_mask=self.d_frozen_mask)
         self.logger = MetricLogger(cfg.log_dir, run_name="vitgan")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score",
                                         mode="max")
@@ -198,7 +242,20 @@ class VitGANTrainer:
                 self.g_state, self.d_state = restored["g"], restored["d"]
         global_step = int(self.g_state.step)
         for epoch in range(start_epoch, cfg.max_epochs):
-            train_d = epoch >= self.unfreeze_epoch
+            # With a MedicalNet-pretrained critic, D trains from epoch 0 but
+            # its pretrained leaves are frozen until the unfreeze epoch
+            # (requires_grad partitioning, train_light_gan.py:139-141);
+            # without one, the whole critic waits for the window.
+            train_d = epoch >= self.unfreeze_epoch or self.d_frozen_mask is not None
+            freeze_d = self.d_frozen_mask is not None and epoch < self.unfreeze_epoch
+            if epoch == self.unfreeze_epoch and self.d_frozen_mask is not None:
+                # FineTuneCB rebuilds both optimizers at the unfreeze epoch
+                # (train_light_gan.py:89-96: configure_optimizers → fresh
+                # Adam state for G and D)
+                self.g_state = self.g_state.replace(
+                    opt_state=self.g_tx.init(self.g_state.params))
+                self.d_state = self.d_state.replace(
+                    opt_state=self.d_tx.init(self.d_state.params))
             g_losses, d_losses = [], []
             for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
@@ -206,7 +263,8 @@ class VitGANTrainer:
                     sharding=self.batch_sharding),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(
-                    self.g_state, self.d_state, batch, train_d=train_d)
+                    self.g_state, self.d_state, batch,
+                    train_d=train_d, freeze_d=freeze_d)
                 g_losses.append(info["g_loss"])
                 d_losses.append(info["d_loss"])
                 global_step += 1

@@ -167,6 +167,103 @@ def test_import_c3d_cascade_golden_forward():
                                tb.numpy()[0, 0], rtol=1e-3, atol=1e-4)
 
 
+def test_resnet10_key_map():
+    assert TI.resnet10_key_map("conv1") == ("stem",)
+    assert TI.resnet10_key_map("bn1") == ("stem_bn",)
+    assert TI.resnet10_key_map("layer1.0.conv1") == ("stage0_block0", "conv1")
+    assert TI.resnet10_key_map("layer3.0.bn2") == ("stage2_block0", "bn2")
+    assert TI.resnet10_key_map("layer4.0.downsample.0") == ("stage3_block0", "downsample")
+    assert TI.resnet10_key_map("layer4.0.downsample.1") == ("stage3_block0", "bn_down")
+    assert TI.resnet10_key_map("fc") == ("fc",)
+    assert TI.resnet10_key_map("something.else") is None
+
+
+def _torch_resnet10(widths, num_classes=1, in_ch=1):
+    """A torch model with the MedicalNet/MONAI ResNet key structure
+    (create_pretrained_medical_resnet source format,
+    models_experiments.py:1555-1588 / monai resnet10 defaults) — the golden
+    source for the importer."""
+    import torch.nn as tnn
+
+    class TBasicBlock(tnn.Module):
+        def __init__(self, i, o, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv3d(i, o, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm3d(o)
+            self.conv2 = tnn.Conv3d(o, o, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm3d(o)
+            self.relu = tnn.ReLU()
+            self.downsample = None
+            if stride != 1 or i != o:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv3d(i, o, 1, stride=stride, bias=False), tnn.BatchNorm3d(o))
+
+        def forward(self, x):
+            res = x if self.downsample is None else self.downsample(x)
+            h = self.relu(self.bn1(self.conv1(x)))
+            return self.relu(self.bn2(self.conv2(h)) + res)
+
+    class TResNet10(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv3d(in_ch, widths[0], 7, stride=(1, 2, 2),
+                                    padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm3d(widths[0])
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool3d(3, stride=2, padding=1)
+            self.layer1 = tnn.Sequential(TBasicBlock(widths[0], widths[0]))
+            for s in (2, 3, 4):
+                setattr(self, f"layer{s}", tnn.Sequential(
+                    TBasicBlock(widths[s - 2], widths[s - 1], stride=2)))
+            self.avgpool = tnn.AdaptiveAvgPool3d(1)
+            self.fc = tnn.Linear(widths[3], num_classes)
+
+        def forward(self, x):
+            h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for s in (1, 2, 3, 4):
+                h = getattr(self, f"layer{s}")(h)
+            return self.fc(self.avgpool(h).flatten(1))
+
+    return TResNet10()
+
+
+@pytest.mark.slow
+def test_import_resnet10_golden_forward():
+    """Import a MedicalNet-format torch resnet10 state dict into ResNet3D
+    (the VitGAN pretrained-critic path, train_light_gan.py:124-138); eval-mode
+    forwards match, including BatchNorm running stats."""
+    import torch
+
+    from dose_prediction_tpu.models.experiments import ResNet3D
+
+    torch.manual_seed(0)
+    widths = (4, 8, 16, 32)
+    tmodel = _torch_resnet10(widths).eval()
+    # non-trivial running stats so the batch_stats import is actually tested
+    gen = np.random.default_rng(1)
+    for mod in tmodel.modules():
+        if isinstance(mod, torch.nn.BatchNorm3d):
+            mod.running_mean.copy_(torch.from_numpy(
+                gen.standard_normal(mod.num_features).astype(np.float32)))
+            mod.running_var.copy_(torch.from_numpy(
+                (0.5 + gen.random(mod.num_features)).astype(np.float32)))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    model = ResNet3D(widths=widths)
+    x = np.random.default_rng(0).standard_normal((2, 8, 16, 16, 1)).astype(np.float32)
+    variables = jax.jit(model.init, static_argnums=2)(
+        jax.random.PRNGKey(0), jnp.asarray(x), False)
+
+    imported, stats = TI.import_resnet10(sd, variables)
+    assert stats["missing"] == 0
+    assert stats["copied"] == stats["inside"]
+
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x.transpose(0, 4, 1, 2, 3)))
+    jout = model.apply(imported, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), rtol=1e-3, atol=1e-4)
+
+
 def test_load_torch_checkpoint_formats(tmp_path):
     import torch
 
