@@ -167,7 +167,8 @@ def build_parser() -> argparse.ArgumentParser:
              "checkpoint servable by eval/predict/infer/linked-eval "
              "(core/torch_import.py) — the migration path for reference-"
              "trained weights")
-    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg", "unetr", "resnet10"],
+    it.add_argument("--kind", choices=["c3d", "pyfer", "transeg", "unetr", "resnet10",
+                                       "hdunet", "dosegan-g", "dosegan-d"],
                     required=True,
                     help="which reference network the source holds ('unetr' "
                          "= the seg task's mode_model=0 plain MONAI UNETR)")
@@ -300,6 +301,24 @@ def main(argv=None) -> int:
             model = (ResNet3D(widths=(4, 8, 16, 32)) if small else ResNet3D())
             s = args.volume_size
             shape = (1, s, s, s, 1)
+        elif args.kind == "hdunet":
+            from dose_prediction_tpu.models import HDUNet
+
+            model = (HDUNet(growth_rate=4, upsample_chan=8) if small else HDUNet())
+            s = args.volume_size
+            shape = (1, s, s, s, 9)
+        elif args.kind == "dosegan-g":
+            from dose_prediction_tpu.models.dosegan import UnetGenerator3D
+
+            model = UnetGenerator3D(out_ch=1, ngf=4 if small else 64)
+            s = args.volume_size
+            shape = (1, s, s, s, 9)
+        elif args.kind == "dosegan-d":
+            from dose_prediction_tpu.models.dosegan import NLayerDiscriminator
+
+            model = NLayerDiscriminator(ndf=4 if small else 64)
+            s = args.volume_size
+            shape = (1, s, s, s, 1)
         else:
             model = pyfer_model() if args.kind == "pyfer" else None
             if model is None:
@@ -324,6 +343,12 @@ def main(argv=None) -> int:
             imported, stats = TI.import_unetr(sd, variables)
         elif args.kind == "resnet10":
             imported, stats = TI.import_resnet10(sd, variables)
+        elif args.kind == "hdunet":
+            imported, stats = TI.import_hdunet(sd, variables)
+        elif args.kind == "dosegan-g":
+            imported, stats = TI.import_dosegan_g(sd, variables)
+        elif args.kind == "dosegan-d":
+            imported, stats = TI.import_dosegan_d(sd, variables)
         else:
             params, stats = TI.import_c3d_cascade(sd, variables["params"])
             imported = {"params": params,

@@ -468,6 +468,167 @@ def import_resnet10(sd_or_path, target_variables: Any, *,
     return {"params": params, "batch_stats": bstats}, stats
 
 
+# ---------------------------------------------------------------------------
+# HD-UNet key map (hdunet.py module names → models/hdunet.py flax names).
+# Accepts bare HD_UNet state dicts, Model wrappers ('model.'), and Lightning
+# checkpoints ('model_.model.', train_light_hdunet.py:68).
+# ---------------------------------------------------------------------------
+
+_HDUNET_PATTERNS = [
+    # encoder_1 has two DenseConvolves; encoder_L (L≥2) leads with a
+    # DenseDownsample then DenseConvolves (hdunet.py:66-94); every one wraps
+    # one conv+IN pair named single_conv.{0,1}
+    (re.compile(r"^encoder\.encoder_1\.(\d)\.single_conv\.([01])$"),
+     lambda m: (f"enc1_c{int(m[1]) + 1}", "conv",
+                "conv" if m[2] == "0" else "norm")),
+    (re.compile(r"^encoder\.encoder_([2-5])\.(\d)\.single_conv\.([01])$"),
+     lambda m: ((f"enc{m[1]}_down" if m[2] == "0" else f"enc{m[1]}_c{m[2]}"),
+                "conv", "conv" if m[3] == "0" else "norm")),
+    (re.compile(r"^decoder\.upconv_(\d)\.conv\.([01])$"),
+     lambda m: (f"upconv_{m[1]}", "conv", "conv" if m[2] == "0" else "norm")),
+    (re.compile(r"^decoder\.decoder_conv_(\d)\.(\d)\.single_conv\.([01])$"),
+     lambda m: (f"dec{m[1]}_c{int(m[2]) + 1}",
+                "conv" if m[3] == "0" else "norm")),
+    (re.compile(r"^decoder\.final_conv$"), lambda m: ("final_conv",)),
+]
+
+
+def hdunet_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for HD-UNet (hdunet.py:66-152)."""
+    key = module_key
+    if key.startswith("model_."):
+        key = key[len("model_."):]
+    if key.startswith("model."):
+        key = key[len("model."):]
+    for pattern, build in _HDUNET_PATTERNS:
+        m = pattern.match(key)
+        if m:
+            return build(m)
+    return None
+
+
+def import_hdunet(sd_or_path, target_variables: Any, *,
+                  verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import a torch HD-UNet checkpoint into models.hdunet.HDUNet variables.
+    Pure InstanceNorm model → params only, no batch_stats."""
+    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    tree = state_dict_to_tree(sd, hdunet_key_map)
+    params, stats = merge_partial(target_variables["params"], tree, verbose=verbose)
+    return {"params": params}, stats
+
+
+# ---------------------------------------------------------------------------
+# DoseGAN key maps (dosegan.py → models/dosegan.py). The torch generator is a
+# recursively-nested anonymous Sequential: each UnetSkipConnectionBlock3d's
+# params live at model(.model.3)^depth.model.{idx} with idx 1=downconv,
+# 2=downnorm, 5=upconv, 6=upnorm (innermost levels have no downnorm/submodule,
+# so their sequential is shorter: 3=upconv, 4=upnorm — dosegan.py:135-149);
+# idx 3 only terminates a parameter key at the innermost level, so the index
+# alone is unambiguous. att_gate.{initial_conv,intermediate.{1,2}} hangs off
+# each level (:150). netG./netD./generator./discriminator. prefixes from a
+# combined Lightning GAN checkpoint are honored for routing.
+# ---------------------------------------------------------------------------
+
+_G_SKIP_LEAF = {1: "downconv", 2: "downnorm", 3: "upconv", 4: "upnorm",
+                5: "upconv", 6: "upnorm"}
+_G_KEY_RE = re.compile(
+    r"^model((?:\.model\.3)*)"
+    r"(\.att_gate\.(?:initial_conv|intermediate\.[12])|\.model\.[1-6])$")
+_ATT_LEAF = {"initial_conv": "initial_conv", "1": "inter_conv", "2": "inter_norm"}
+
+
+def dosegan_g_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for the DoseGAN generator
+    (UnetGenerator3d, dosegan.py:50-85)."""
+    key = module_key
+    for pre in ("netG.", "generator."):
+        if key.startswith(pre):
+            key = key[len(pre):]
+    if key == "initial_block.0":
+        return ("initial_conv",)
+    if key == "initial_block.1":
+        return ("initial_norm",)
+    if key == "outer_block.0":
+        return ("outer_conv",)
+    if module_key != key or not module_key.startswith(("netD.", "discriminator.")):
+        m = _G_KEY_RE.match(key)
+        if m:
+            base = ("unet",) + ("submodule",) * m[1].count(".model.3")
+            tail = m[2]
+            if tail.startswith(".att_gate"):
+                return base + ("att_gate", _ATT_LEAF[tail.rsplit(".", 1)[-1]])
+            return base + (_G_SKIP_LEAF[int(tail.rsplit(".", 1)[-1])],)
+    return None
+
+
+def dosegan_g_transposed_key(module_key: str) -> bool:
+    """ConvTranspose3d marker: every generator upconv (dosegan.py:133-143)."""
+    path = dosegan_g_key_map(module_key)
+    return path is not None and path[-1] == "upconv"
+
+
+_D_BARE = {0: ("initial_conv",), 1: ("initial_norm",),
+           6: ("final_conv",), 7: ("final_norm",)}
+_D_BLOCK_RE = re.compile(
+    r"^model\.([3-5])\.(downsample\.[01]|pooling\.[01]"
+    r"|att_gate\.(?:initial_conv|intermediate\.[12]))$")
+_D_BLOCK_LEAF = {"downsample.0": ("down_conv",), "downsample.1": ("down_norm",),
+                 "pooling.0": ("pool_conv",), "pooling.1": ("pool_norm",)}
+
+
+def dosegan_d_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for NLayerDiscriminator
+    (dosegan.py:177-215, reference n_layers=3: blocks at sequence slots 3-5,
+    final conv/norm at 6/7)."""
+    key = module_key
+    for pre in ("netD.", "discriminator."):
+        if key.startswith(pre):
+            key = key[len(pre):]
+    if module_key == key and module_key.startswith(("netG.", "generator.")):
+        return None
+    m = re.match(r"^model\.([0-7])$", key)
+    if m and int(m[1]) in _D_BARE:
+        return _D_BARE[int(m[1])]
+    m = _D_BLOCK_RE.match(key)
+    if m:
+        block = (f"block{int(m[1]) - 3}",)
+        sub = m[2]
+        if sub.startswith("att_gate"):
+            return block + ("att_gate", _ATT_LEAF[sub.rsplit(".", 1)[-1]])
+        return block + _D_BLOCK_LEAF[sub]
+    return None
+
+
+def _import_with_stats(sd_or_path, key_map: KeyMap, target_variables: Any, *,
+                       transposed=None, verbose: bool = True):
+    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    tree = state_dict_to_tree(sd, key_map, transposed=transposed)
+    p_tree, s_tree = split_batch_stats(tree)
+    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
+    bstats = target_variables.get("batch_stats", {})
+    if s_tree:
+        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
+    return {"params": params, "batch_stats": bstats}, stats
+
+
+def import_dosegan_g(sd_or_path, target_variables: Any, *,
+                     verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import the DoseGAN generator (UnetGenerator3d) — from a bare generator
+    state dict or a combined GAN checkpoint with netG./generator. prefixes.
+    BatchNorm running stats land in batch_stats."""
+    return _import_with_stats(sd_or_path, dosegan_g_key_map, target_variables,
+                              transposed=dosegan_g_transposed_key, verbose=verbose)
+
+
+def import_dosegan_d(sd_or_path, target_variables: Any, *,
+                     verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import the DoseGAN discriminator (NLayerDiscriminator) — from a bare
+    state dict or a combined GAN checkpoint with netD./discriminator.
+    prefixes."""
+    return _import_with_stats(sd_or_path, dosegan_d_key_map, target_variables,
+                              verbose=verbose)
+
+
 def import_pyfer(sd_or_path, target_variables: Any, *,
                  verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
     """Import a torch DOSE-PYFER checkpoint (reference Model state dict) into

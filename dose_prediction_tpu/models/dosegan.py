@@ -52,18 +52,23 @@ class UnetSkipBlock(fnn.Module):
     in_nc: int
     down_nc: int
     depth: int  # remaining inner levels (0 = innermost)
+    max_nc: int = 512  # width cap = 8·ngf (dosegan.py:63-74 hardcodes ngf·8)
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
         h = ops.leaky_relu(x, 0.2)
-        h = Conv3D(self.down_nc, 4, stride=2, padding=1, dtype=self.dtype, name="downconv")(h)
+        # bias=use_bias is False under BatchNorm3d (dosegan.py:122-131)
+        h = Conv3D(self.down_nc, 4, stride=2, padding=1, use_bias=False,
+                   dtype=self.dtype, name="downconv")(h)
         if self.depth > 0:  # innermost level has no downnorm and no submodule
             h = BatchNorm(name="downnorm")(h, use_running_average=not train)
-            h = UnetSkipBlock(self.down_nc, min(self.down_nc * 2, 512), self.depth - 1,
+            h = UnetSkipBlock(self.down_nc, min(self.down_nc * 2, self.max_nc),
+                              self.depth - 1, max_nc=self.max_nc,
                               dtype=self.dtype, name="submodule")(h, train)
         h = ops.relu(h)
-        h = ConvTranspose3D(self.in_nc, 4, stride=2, padding=1, dtype=self.dtype, name="upconv")(h)
+        h = ConvTranspose3D(self.in_nc, 4, stride=2, padding=1, use_bias=False,
+                            dtype=self.dtype, name="upconv")(h)
         z = BatchNorm(name="upnorm")(h, use_running_average=not train)
         att = AttGate(self.in_nc, dtype=self.dtype, name="att_gate")(z, x, train)
         return jnp.concatenate([att, z], axis=-1)
@@ -84,7 +89,7 @@ class UnetGenerator3D(fnn.Module):
         h = BatchNorm(name="initial_norm")(h, use_running_average=not train)
         h = ops.leaky_relu(h, 0.2)
         h = UnetSkipBlock(self.ngf, self.ngf * 2, self.num_levels - 1,
-                          dtype=self.dtype, name="unet")(h, train)
+                          max_nc=self.ngf * 8, dtype=self.dtype, name="unet")(h, train)
         h = Conv3D(self.out_ch, 4, stride=1, padding=3, dilation=2, dtype=self.dtype, name="outer_conv")(h)
         return ops.tanh(h)
 
