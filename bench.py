@@ -52,7 +52,7 @@ def seed_cache() -> dict:
     stats = {"shipped": 0, "seeded": 0, "already_present": 0}
     if not SEED_DIR.is_dir():
         return stats
-    CACHE_DIR.mkdir(exist_ok=True)
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
     for src in SEED_DIR.glob("*-cache"):
         stats["shipped"] += 1
         dst = CACHE_DIR / src.name

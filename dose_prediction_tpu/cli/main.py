@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--no-freeze", action="store_true")
     tr.add_argument("--delta1", type=float, default=10.0)
     tr.add_argument("--delta2", type=float, default=8.0)
+    tr.add_argument("--act", choices=["relu", "mish"], default="mish",
+                    help="exp: generator activation (train_light_exp_models.py"
+                         ":353-363 takes it from the command line)")
     tr.add_argument("--mode-model", type=int, choices=[0, 1], default=1,
                     help="seg task: 0 = plain MONAI UNETR, 1 = TranSeg "
                          "(train_light_transeg.py:93-124)")
@@ -111,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "(every reference trainer has a test path, e.g. "
                          "train_light_c3d.py:245-322)")
     ev.add_argument("--ckpt", required=True)
+    ev.add_argument("--act", choices=["relu", "mish"], default="mish",
+                    help="exp: generator activation the checkpoint was "
+                         "trained with")
     ev.add_argument("--plots-dir", default=None,
                     help="write per-patient DVH figures + GT/pred/error slice "
                          "triptychs here (train_light_pyfer.py:222-263)")
@@ -124,6 +130,15 @@ def build_parser() -> argparse.ArgumentParser:
                      help="'dense' = one full-volume seg forward (≈2.6× faster "
                           "serve; validate Dice vs 'sliding' before defaulting)")
     inf.add_argument("--model-size", choices=["full", "small"], default="full")
+    inf.add_argument("--roi", type=int, default=96,
+                     help="the ROI the seg checkpoint was trained at; in "
+                          "--seg-mode dense the pos-embed grid is derived "
+                          "from it (roi // 16)")
+    inf.add_argument("--block-family", choices=["seg", "old", "ablation"],
+                     default="seg",
+                     help="TranSeg conv-block flavor of the seg checkpoint "
+                          "('old' = what import-torch produces for reference "
+                          "mode_model=1 sources)")
     inf.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
                      default="float32",
                      help="'bfloat16' = TPU serving config: bf16 activations "
@@ -144,6 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
     le.add_argument("--roi", type=int, default=96, help="seg sliding-window ROI")
     le.add_argument("--sw-batch", type=int, default=4)
     le.add_argument("--seg-mode", choices=["sliding", "dense"], default="sliding")
+    le.add_argument("--block-family", choices=["seg", "old", "ablation"],
+                    default="seg",
+                    help="TranSeg conv-block flavor of the seg checkpoint "
+                         "('old' = what import-torch produces for reference "
+                         "mode_model=1 sources)")
     le.add_argument("--no-ivs", action="store_true")
     le.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
                     default="float32",
@@ -157,6 +177,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(pr)
     pr.add_argument("--model", choices=_DOSE_MODELS, default="pyfer")
     pr.add_argument("--ckpt", required=True, help="dose-model checkpoint")
+    pr.add_argument("--act", choices=["relu", "mish"], default="mish",
+                    help="exp: generator activation the checkpoint was "
+                         "trained with")
     pr.add_argument("--out-dir", required=True,
                     help="one <out-dir>/<patient_id>/dose.nii.gz per patient")
 
@@ -270,6 +293,81 @@ def main(argv=None) -> int:
                              act=act, multiS_conv=multiS_conv, remat_blocks=remat)
         return DosePyfer(act=act, multiS_conv=multiS_conv, remat_blocks=remat)
 
+    def transeg_model(out_ch=8, block_family="seg", trained_grid=None, dtype=None):
+        from dose_prediction_tpu.models import TranSeg
+
+        kw = {"dtype": dtype} if dtype is not None else {}
+        if getattr(args, "model_size", "full") == "small":
+            return TranSeg(out_ch=out_ch, feature_size=2, hidden_size=24,
+                           mlp_dim=48, num_layers=4, num_heads=2,
+                           block_family=block_family, trained_grid=trained_grid,
+                           **kw)
+        return TranSeg(out_ch=out_ch, block_family=block_family,
+                       trained_grid=trained_grid, **kw)
+
+    def build_dose_trainer(model_name: str, cfg, shape):
+        """ONE construction path for ``train`` and ``eval``/``predict`` so a
+        train → eval round trip always rebuilds the identical architecture
+        (small or full; generator configs pinned to the reference's)."""
+        small = getattr(args, "model_size", "full") == "small"
+        lr_override = getattr(args, "lr", _DEFAULT_LR) != _DEFAULT_LR
+        ex = (1, *shape, 9)
+        if model_name == "pyfer":
+            pre = None
+            if getattr(args, "pretrained_c3d", None):
+                if args.pretrained_c3d.endswith((".pkl", ".pt", ".pth", ".ckpt")):
+                    # reference-format torch pickle (create_pretrained_unet
+                    # source, c3d.py:172-204) → converted flax tree; surgery
+                    # happens in PyferTrainer via load_pretrained_net_a
+                    from dose_prediction_tpu.core.torch_import import (
+                        c3d_key_map,
+                        load_torch_checkpoint,
+                        state_dict_to_tree,
+                    )
+                    pre = state_dict_to_tree(
+                        load_torch_checkpoint(args.pretrained_c3d), c3d_key_map)
+                else:
+                    from dose_prediction_tpu.core.checkpoint import restore_checkpoint
+                    pre = restore_checkpoint(args.pretrained_c3d)
+                    pre = pre.get("state", pre).get("params", pre)
+            return PyferTrainer(cfg, model=pyfer_model(),
+                                pretrained_c3d_params=pre, example_shape=ex)
+        if model_name == "c3d":
+            from dose_prediction_tpu.models import CascadeC3D
+
+            model = CascadeC3D(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                               list_ch_B=(-1, 2, 4, 8, 16, 32)) if small else None
+            return CascadeC3DTrainer(cfg, model=model, example_shape=ex)
+        if model_name == "hdunet":
+            from dose_prediction_tpu.models import HDUNet
+
+            model = HDUNet(growth_rate=4, upsample_chan=8) if small else None
+            return HDUNetTrainer(cfg, model=model, example_shape=ex)
+        if model_name == "dosegan":
+            # GAN LRs default to the reference's values; an explicit --lr
+            # overrides (the parser default is the pyfer-tuned value, which
+            # would be wrong for the GANs)
+            kw = {"ngf": 4, "ndf": 4} if small else {}
+            if lr_override:
+                kw["gan_lr"] = args.lr
+            return DoseGANTrainer(cfg, example_shape=ex, **kw)
+        if model_name == "vitgan":
+            from dose_prediction_tpu.models.experiments import vitgan_generator
+            from dose_prediction_tpu.train.gan import VitGANTrainer
+
+            kw = {"g_lr": args.lr, "d_lr": args.lr} if lr_override else {}
+            return VitGANTrainer(
+                cfg, generator=vitgan_generator(small), example_shape=ex,
+                unfreeze_epoch=getattr(args, "unfreeze_epoch", 10),
+                pretrained_critic=getattr(args, "pretrained_critic", None), **kw)
+        # exp
+        from dose_prediction_tpu.models.experiments import exp_generator
+        from dose_prediction_tpu.train.trainers import ExpModelTrainer
+
+        return ExpModelTrainer(
+            cfg, exp_generator(small, act=getattr(args, "act", "mish")),
+            example_shape=ex)
+
     if args.cmd == "import-torch":
         import numpy as np
 
@@ -281,12 +379,7 @@ def main(argv=None) -> int:
 
         small = args.model_size == "small"
         if args.kind == "transeg":
-            from dose_prediction_tpu.models import TranSeg
-
-            model = (TranSeg(out_ch=8, feature_size=2, hidden_size=24,
-                             mlp_dim=48, num_layers=4, num_heads=2,
-                             block_family=args.block_family) if small
-                     else TranSeg(block_family=args.block_family))
+            model = transeg_model(block_family=args.block_family)
             shape = (1, args.roi, args.roi, args.roi, 1)
         elif args.kind == "unetr":
             from dose_prediction_tpu.models import UNETR
@@ -329,11 +422,14 @@ def main(argv=None) -> int:
                          else CascadeC3D())
             s = args.volume_size
             shape = (1, s, s, s, 9)
-        # target leaves as zeros via eval_shape: merge_partial only needs
-        # shapes/dtypes, so no real init forward is ever run
-        abstract = jax.eval_shape(model.init, jax.random.PRNGKey(0),
-                                  jnp.zeros(shape, jnp.float32))
-        variables = jax.tree.map(lambda t: np.zeros(t.shape, t.dtype), abstract)
+        # REAL model init (one jit'd forward): any target leaf the source does
+        # not cover keeps its proper initialization — the reference's
+        # strict=False load semantics (dose_pyfer.py:394-407; MedicalNet
+        # pickles carry no fc, which must stay trainable-at-init, not zeros)
+        variables = jax.tree.map(
+            np.asarray,
+            jax.jit(model.init)(jax.random.PRNGKey(0),
+                                jnp.zeros(shape, jnp.float32)))
         sd = TI.load_torch_checkpoint(args.src)
         if args.kind == "pyfer":
             imported, stats = TI.import_pyfer(sd, variables)
@@ -356,9 +452,15 @@ def main(argv=None) -> int:
         print(f"[import-torch] {args.kind}: copied {stats['copied']} / "
               f"inside {stats['inside']}, missing {stats['missing']}, "
               f"unused {stats['unused']}")
-        if args.strict and stats["missing"]:
-            print("[import-torch] --strict: leaves not covered by the source",
-                  file=sys.stderr)
+        # strict = every target leaf actually RECEIVED a copy: 'missing'
+        # counts source paths absent from the target; an in-target path whose
+        # shape mismatched (merge_partial skips the copy) shows up only as
+        # copied < inside — both violate the strict contract
+        if args.strict and (stats["missing"] or stats["copied"] < stats["inside"]):
+            print(f"[import-torch] --strict: {stats['missing']} leaves not "
+                  f"covered by the source, "
+                  f"{stats['inside'] - stats['copied']} skipped on shape "
+                  "mismatch", file=sys.stderr)
             return 1
         save_checkpoint(args.dest, imported)
         print(f"[import-torch] wrote {args.dest}")
@@ -368,15 +470,33 @@ def main(argv=None) -> int:
         cfg = make_cfg()
         if args.model == "transeg" and getattr(args, "private_data", False):
             from dose_prediction_tpu.data.private_seg import PrivateSegDataset
-            from dose_prediction_tpu.models import TranSeg
             from dose_prediction_tpu.train.trainers import TranSegTrainer
 
             train_ds = PrivateSegDataset(args.data, split="train").as_seg()
             val_ds = PrivateSegDataset(args.val_data or args.data, split="val").as_seg()
             trainer = TranSegTrainer(
-                cfg, model=TranSeg(
-                    out_ch=14, block_family=getattr(args, "block_family", "seg")),
+                cfg, model=transeg_model(
+                    out_ch=14,
+                    block_family=getattr(args, "block_family", "seg")),
                 num_classes=14)
+            trainer.fit(train_ds, val_ds)
+            return 0
+        if args.model == "transeg":
+            if getattr(args, "mode_model", 1) == 0:
+                from dose_prediction_tpu.models import UNETR
+                from dose_prediction_tpu.train.trainers import UNETRSegTrainer
+
+                small = getattr(args, "model_size", "full") == "small"
+                model = (UNETR(out_ch=8, feature_size=2, hidden_size=24,
+                               mlp_dim=48, num_layers=4, num_heads=2)
+                         if small else None)
+                trainer = UNETRSegTrainer(cfg, model=model)
+            else:
+                trainer = TranSegTrainer(cfg, model=transeg_model(
+                    block_family=getattr(args, "block_family", "seg")))
+            train_ds = OpenKBPDataset(args.data, size=args.size)
+            val_ds = (OpenKBPDataset(args.val_data, keep_structures=True)
+                      if args.val_data else None)
             trainer.fit(train_ds, val_ds)
             return 0
         train_ds = OpenKBPDataset(args.data, size=args.size)
@@ -384,104 +504,61 @@ def main(argv=None) -> int:
         # the ViT pos-embed grid is shape-specific: derive the example shape
         # from the actual data rather than assuming 128³
         shape = train_ds.patients[0].ct.shape
-        if args.model == "pyfer":
-            pre = None
-            if args.pretrained_c3d and args.pretrained_c3d.endswith(
-                    (".pkl", ".pt", ".pth", ".ckpt")):
-                # reference-format torch pickle (create_pretrained_unet source,
-                # c3d.py:172-204) → converted flax tree; surgery happens in
-                # PyferTrainer via load_pretrained_net_a
-                from dose_prediction_tpu.core.torch_import import (
-                    c3d_key_map,
-                    load_torch_checkpoint,
-                    state_dict_to_tree,
-                )
-                pre = state_dict_to_tree(
-                    load_torch_checkpoint(args.pretrained_c3d), c3d_key_map)
-            elif args.pretrained_c3d:
-                from dose_prediction_tpu.core.checkpoint import restore_checkpoint
-                pre = restore_checkpoint(args.pretrained_c3d)
-                pre = pre.get("state", pre).get("params", pre)
-            trainer = PyferTrainer(cfg, model=pyfer_model(), pretrained_c3d_params=pre,
-                                   example_shape=(1, *shape, 9))
-        elif args.model == "c3d":
-            trainer = CascadeC3DTrainer(cfg, example_shape=(1, *shape, 9))
-        elif args.model == "hdunet":
-            trainer = HDUNetTrainer(cfg, example_shape=(1, *shape, 9))
-        elif args.model == "transeg":
-            if getattr(args, "mode_model", 1) == 0:
-                from dose_prediction_tpu.models import UNETR
-                from dose_prediction_tpu.train.trainers import UNETRSegTrainer
-                trainer = UNETRSegTrainer(cfg)
-            else:
-                from dose_prediction_tpu.models import TranSeg
-                trainer = TranSegTrainer(cfg, model=TranSeg(
-                    block_family=getattr(args, "block_family", "seg")))
-        elif args.model == "vitgan":
-            from dose_prediction_tpu.train.gan import VitGANTrainer
-            # GAN LRs default to the reference's values (G 1e-4 / D 5e-3);
-            # an explicit --lr overrides BOTH (the parser default is the
-            # pyfer-tuned value, which would be wrong for the GANs)
-            gan_kw = ({"g_lr": args.lr, "d_lr": args.lr}
-                      if args.lr != _DEFAULT_LR else {})
-            trainer = VitGANTrainer(cfg, example_shape=(1, *shape, 9),
-                                    unfreeze_epoch=args.unfreeze_epoch,
-                                    pretrained_critic=args.pretrained_critic,
-                                    **gan_kw)
-        elif args.model == "exp":
-            from dose_prediction_tpu.models.experiments import VitGenerator
-            from dose_prediction_tpu.train.trainers import ExpModelTrainer
-            trainer = ExpModelTrainer(cfg, VitGenerator(mode_multi_dec=True, act="mish"),
-                                      example_shape=(1, *shape, 9))
-        else:
-            gan_kw = {"gan_lr": args.lr} if args.lr != _DEFAULT_LR else {}
-            trainer = DoseGANTrainer(cfg, example_shape=(1, *shape, 9), **gan_kw)
+        trainer = build_dose_trainer(args.model, cfg, shape)
         trainer.fit(train_ds, val_ds)
         return 0
+
+    def _graft_variables(state, variables, what: str):
+        """Replace a TrainState's params/batch_stats with a checkpoint's,
+        with a clear error if the checkpoint holds a different architecture
+        (e.g. full-size weights into a --model-size small model)."""
+        import numpy as np
+
+        from dose_prediction_tpu.core.checkpoint import flatten_params
+
+        src = flatten_params(variables["params"])
+        tgt = flatten_params(state.params)
+        if set(src) != set(tgt):
+            missing = sorted("/".join(k) for k in set(tgt) - set(src))[:5]
+            extra = sorted("/".join(k) for k in set(src) - set(tgt))[:5]
+            raise SystemExit(
+                f"checkpoint does not match the constructed {what} "
+                f"architecture (check --model/--model-size/--act): "
+                f"missing leaves {missing}, unexpected leaves {extra}")
+        bad = [("/".join(k), tuple(np.shape(src[k])), tuple(np.shape(tgt[k])))
+               for k in tgt if np.shape(src[k]) != np.shape(tgt[k])]
+        if bad:
+            raise SystemExit(
+                f"checkpoint leaf shapes do not match the constructed {what} "
+                f"architecture (check --model-size): {bad[:5]}")
+        return state.replace(params=variables["params"],
+                             batch_stats=variables.get("batch_stats") or {})
 
     def restored_dose_trainer(model_name: str, shape):
         """Trainer + unified ``predict_fn(batch) -> Gy prediction`` for a
         trained checkpoint of ANY dose model — every reference trainer has a
         test path (train_light_{pyfer:199,c3d:245,hdunet:165,dosegan:207,
-        gan,exp_models:263}.py), so eval/predict must too."""
-        from dose_prediction_tpu.core.checkpoint import restore_checkpoint
+        gan,exp_models:263}.py), so eval/predict must too. The checkpoint may
+        be a trainer slot ({'state'|'g'+'d', 'epoch'}) OR the bare variables
+        import-torch writes — variables_from_checkpoint normalizes both."""
+        from dose_prediction_tpu.core.checkpoint import (
+            restore_checkpoint,
+            variables_from_checkpoint,
+        )
 
-        small = getattr(args, "model_size", "full") == "small"
-        cfg = make_cfg()
-        ex = (1, *shape, 9)
-        if model_name == "pyfer":
-            tr = PyferTrainer(cfg, model=pyfer_model(), example_shape=ex)
-        elif model_name == "c3d":
-            from dose_prediction_tpu.models import CascadeC3D
-
-            model = CascadeC3D(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
-                               list_ch_B=(-1, 2, 4, 8, 16, 32)) if small else None
-            tr = CascadeC3DTrainer(cfg, model=model, example_shape=ex)
-        elif model_name == "hdunet":
-            from dose_prediction_tpu.models import HDUNet
-
-            model = HDUNet(growth_rate=4, upsample_chan=8) if small else None
-            tr = HDUNetTrainer(cfg, model=model, example_shape=ex)
-        elif model_name == "dosegan":
-            kw = {"ngf": 4, "ndf": 4} if small else {}
-            tr = DoseGANTrainer(cfg, example_shape=ex, **kw)
-        elif model_name == "vitgan":
-            from dose_prediction_tpu.train.gan import VitGANTrainer
-
-            tr = VitGANTrainer(cfg, generator=_exp_generator(small),
-                               example_shape=ex)
-        else:  # exp
-            from dose_prediction_tpu.train.trainers import ExpModelTrainer
-
-            tr = ExpModelTrainer(cfg, _exp_generator(small), example_shape=ex)
-
+        tr = build_dose_trainer(model_name, make_cfg(), shape)
+        raw = restore_checkpoint(args.ckpt)
+        variables = variables_from_checkpoint(raw)
         if model_name in ("dosegan", "vitgan"):
-            restored = restore_checkpoint(
-                args.ckpt, {"g": tr.g_state, "d": tr.d_state, "epoch": 0})
-            tr.g_state, tr.d_state = restored["g"], restored["d"]
+            tr.g_state = _graft_variables(tr.g_state, variables, "generator")
+            if isinstance(raw, dict) and isinstance(raw.get("d"), dict):
+                tr.d_state = _graft_variables(
+                    tr.d_state,
+                    {"params": raw["d"]["params"],
+                     "batch_stats": raw["d"].get("batch_stats") or {}},
+                    "discriminator")
         else:
-            restored = restore_checkpoint(args.ckpt, {"state": tr.state, "epoch": 0})
-            tr.state = restored["state"]
+            tr.state = _graft_variables(tr.state, variables, "model")
 
         if model_name == "pyfer":
             predict_fn = lambda batch: tr.eval_step(tr.state, batch)["prediction"]
@@ -505,14 +582,6 @@ def main(argv=None) -> int:
                 run(batch["input"], variables), batch["gt"][..., 1:2],
                 scale=tr.val_scale)
         return tr, predict_fn
-
-    def _exp_generator(small: bool):
-        from dose_prediction_tpu.models.experiments import VitGenerator
-
-        if small:
-            return VitGenerator(hidden_size=24, mlp_dim=48, num_layers=2,
-                                num_heads=2, feature_size=2)
-        return VitGenerator(mode_multi_dec=True, act="mish")
 
     if args.cmd == "eval":
         ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
@@ -545,12 +614,9 @@ def main(argv=None) -> int:
         ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
         seg_model, dose_model = None, None
         if getattr(args, "model_size", "full") == "small":
-            from dose_prediction_tpu.models import TranSeg
-
             grid = ((args.roi // 16,) * 3 if args.seg_mode == "dense" else None)
-            seg_model = TranSeg(out_ch=8, feature_size=2, hidden_size=24,
-                                mlp_dim=48, num_layers=4, num_heads=2,
-                                trained_grid=grid)
+            seg_model = transeg_model(block_family=args.block_family,
+                                      trained_grid=grid)
             dose_model = pyfer_model()
         if args.seg_mode == "dense":
             print("[linked-eval] seg_mode=dense: one full-volume seg forward; "
@@ -561,7 +627,8 @@ def main(argv=None) -> int:
                             seg_ckpt=args.seg_ckpt, dose_ckpt=args.dose_ckpt,
                             roi_size=(args.roi,) * 3, sw_batch_size=args.sw_batch,
                             seg_mode=args.seg_mode,
-                            serve_dtype=getattr(args, "serve_dtype", "float32"))
+                            serve_dtype=getattr(args, "serve_dtype", "float32"),
+                            seg_block_family=args.block_family)
         results = model.evaluate(ds, log_dir=args.log_dir,
                                  plots_dir=args.plots_dir,
                                  with_ivs=not args.no_ivs)
@@ -583,17 +650,17 @@ def main(argv=None) -> int:
         p = load_patient(args.patient)
         serve_bf16 = getattr(args, "serve_dtype", "float32") == "bfloat16"
         dtype = jnp.bfloat16 if serve_bf16 else jnp.float32
+        # dense mode: the pos-embed grid comes from the ROI the checkpoint
+        # was trained at (roi // patch), not a hardcoded 96³ assumption
+        grid = ((args.roi // TranSeg.patch_size,) * 3
+                if args.seg_mode == "dense" else None)
+        seg = transeg_model(block_family=args.block_family,
+                            trained_grid=grid, dtype=dtype)
         if getattr(args, "model_size", "full") == "small":
-            seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24,
-                          mlp_dim=48, num_layers=4, num_heads=2,
-                          trained_grid=((6, 6, 6) if args.seg_mode == "dense"
-                                        else None), dtype=dtype)
             dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
                              feature_size=2, hidden_size=24, mlp_dim=48,
                              num_layers=4, num_heads=2, dtype=dtype)
         else:
-            seg = TranSeg(trained_grid=((6, 6, 6) if args.seg_mode == "dense"
-                                        else None), dtype=dtype)
             dose = DosePyfer(dtype=dtype)
         seg_vars = variables_from_checkpoint(restore_checkpoint(args.seg_ckpt))
         dose_vars = variables_from_checkpoint(restore_checkpoint(args.dose_ckpt))

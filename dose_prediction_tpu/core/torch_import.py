@@ -393,14 +393,8 @@ def import_unetr(sd_or_path, target_variables: Any, *,
                  verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
     """Import a torch MONAI-UNETR checkpoint (bare or Lightning-wrapped) into
     this framework's models.unetr.UNETR variables."""
-    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
-    tree = state_dict_to_tree(sd, unetr_key_map, transposed=pyfer_transposed_key)
-    p_tree, s_tree = split_batch_stats(tree)
-    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
-    bstats = target_variables.get("batch_stats", {})
-    if s_tree:
-        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
-    return {"params": params, "batch_stats": bstats}, stats
+    return _import_with_stats(sd_or_path, unetr_key_map, target_variables,
+                              transposed=pyfer_transposed_key, verbose=verbose)
 
 
 def import_transeg(sd_or_path, target_variables: Any, *,
@@ -410,14 +404,8 @@ def import_transeg(sd_or_path, target_variables: Any, *,
     TranSeg variables. Returns ({'params', 'batch_stats'}, merge stats).
     BatchNorm running stats (k7 branches in the 'seg' family; every conv
     block in the 'old' family) land in batch_stats."""
-    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
-    tree = state_dict_to_tree(sd, transeg_key_map, transposed=pyfer_transposed_key)
-    p_tree, s_tree = split_batch_stats(tree)
-    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
-    bstats = target_variables.get("batch_stats", {})
-    if s_tree:
-        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
-    return {"params": params, "batch_stats": bstats}, stats
+    return _import_with_stats(sd_or_path, transeg_key_map, target_variables,
+                              transposed=pyfer_transposed_key, verbose=verbose)
 
 
 # ---------------------------------------------------------------------------
@@ -458,14 +446,8 @@ def import_resnet10(sd_or_path, target_variables: Any, *,
     """Import MedicalNet/MONAI ResNet weights into models.experiments.ResNet3D
     variables (the VitGAN critic's pretrained-discriminator path,
     train_light_gan.py:124-138). BatchNorm running stats land in batch_stats."""
-    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
-    tree = state_dict_to_tree(sd, resnet10_key_map)
-    p_tree, s_tree = split_batch_stats(tree)
-    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
-    bstats = target_variables.get("batch_stats", {})
-    if s_tree:
-        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
-    return {"params": params, "batch_stats": bstats}, stats
+    return _import_with_stats(sd_or_path, resnet10_key_map, target_variables,
+                              verbose=verbose)
 
 
 # ---------------------------------------------------------------------------
@@ -635,11 +617,5 @@ def import_pyfer(sd_or_path, target_variables: Any, *,
     this framework's DosePyfer variables. Returns ({'params', 'batch_stats'},
     merge stats for the params tree). BatchNorm running stats (the seg-family
     conv_3_1 k7 branches) land in batch_stats."""
-    sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
-    tree = state_dict_to_tree(sd, pyfer_key_map, transposed=pyfer_transposed_key)
-    p_tree, s_tree = split_batch_stats(tree)
-    params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
-    bstats = target_variables.get("batch_stats", {})
-    if s_tree:
-        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
-    return {"params": params, "batch_stats": bstats}, stats
+    return _import_with_stats(sd_or_path, pyfer_key_map, target_variables,
+                              transposed=pyfer_transposed_key, verbose=verbose)

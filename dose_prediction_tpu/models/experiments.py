@@ -651,3 +651,30 @@ class ResNet3D(fnn.Module):
 
 def resnet10(num_classes: int = 1, dtype=jnp.float32) -> ResNet3D:
     return ResNet3D(block_counts=(1, 1, 1, 1), num_classes=num_classes, dtype=dtype)
+
+
+def vitgan_generator(small: bool = False, dtype=jnp.float32) -> VitGenerator:
+    """The ViT-GAN generator exactly as the reference trains it
+    (train_light_gan.py:124-133: MainSubsetModel(feature_size=16,
+    num_layers=8, num_heads=6, mode_multi_dec=True, act='mish',
+    multiS_conv=False)); ``small`` is the reduced dev/CI width."""
+    if small:
+        return VitGenerator(hidden_size=24, mlp_dim=48, num_layers=2,
+                            num_heads=2, feature_size=2, mode_multi_dec=True,
+                            act="mish", multiS_conv=False, dtype=dtype)
+    return VitGenerator(num_layers=8, num_heads=6, mode_multi_dec=True,
+                        act="mish", multiS_conv=False, dtype=dtype)
+
+
+def exp_generator(small: bool = False, *, act: str = "mish",
+                  multis_conv: bool = True, dtype=jnp.float32) -> VitGenerator:
+    """The TestModel generator of train_light_exp_models.py:118-129 with the
+    main()-block hyperparameters (:356-363: num_layers=8, num_heads=6,
+    mode_multi_dec=True, multiS_conv=True, act from the command line);
+    ``small`` is the reduced dev/CI width."""
+    if small:
+        return VitGenerator(hidden_size=24, mlp_dim=48, num_layers=2,
+                            num_heads=2, feature_size=2, mode_multi_dec=True,
+                            act=act, multiS_conv=multis_conv, dtype=dtype)
+    return VitGenerator(num_layers=8, num_heads=6, mode_multi_dec=True,
+                        act=act, multiS_conv=multis_conv, dtype=dtype)

@@ -156,7 +156,12 @@ class VitGANTrainer:
         self.unfreeze_epoch = unfreeze_epoch
         self.val_scale = val_scale
         self.roi_size = tuple(example_shape[1:4])  # roi = IMAGE_SIZE³ (:219-222)
-        self.gen = generator if generator is not None else VitGenerator()
+        # default generator = the exact reference config (MainSubsetModel
+        # with num_layers=8/num_heads=6/mode_multi_dec/mish/multiS_conv=False,
+        # train_light_gan.py:124-133)
+        from dose_prediction_tpu.models.experiments import vitgan_generator
+
+        self.gen = generator if generator is not None else vitgan_generator()
         self.disc = discriminator if discriminator is not None else resnet10(num_classes=1)
         gx = jnp.zeros(example_shape, jnp.float32)
         dx = jnp.zeros((*example_shape[:-1], 1), jnp.float32)

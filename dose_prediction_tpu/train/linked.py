@@ -43,6 +43,7 @@ class LinkedModel:
         sw_batch_size: int = 4,
         seg_mode: str = "sliding",
         serve_dtype: str = "float32",
+        seg_block_family: str = "seg",
     ):
         """``seg_mode='dense'`` replaces the stage-1 sliding-window sweep with
         ONE full-volume seg forward (pos-embed grid adaptation; ~2.6× faster
@@ -53,14 +54,20 @@ class LinkedModel:
         (checkpoint params stay float32 — layers cast at use) and tries the
         shipped pre-compiled serve executables (infer.aot) before jit: the
         TPU serving configuration, cold-start in seconds. float32 keeps
-        reference-numerics parity and always jit-compiles."""
+        reference-numerics parity and always jit-compiles.
+
+        ``seg_block_family`` selects the TranSeg conv-block flavor the seg
+        checkpoint was trained with ('seg' | 'old' | 'ablation' — 'old' is
+        what import-torch produces for reference mode_model=1 checkpoints,
+        train_light_transeg.py:20)."""
         dtype = jnp.bfloat16 if serve_dtype == "bfloat16" else jnp.float32
         if seg_model is None:
             if seg_mode == "dense":
                 grid = tuple(int(r) // TranSeg.patch_size for r in roi_size)
-                seg_model = TranSeg(trained_grid=grid, dtype=dtype)
+                seg_model = TranSeg(trained_grid=grid, dtype=dtype,
+                                    block_family=seg_block_family)
             else:
-                seg_model = TranSeg(dtype=dtype)
+                seg_model = TranSeg(dtype=dtype, block_family=seg_block_family)
         self.seg_model = seg_model
         self.dose_model = dose_model if dose_model is not None else DosePyfer(dtype=dtype)
         if seg_variables is None:

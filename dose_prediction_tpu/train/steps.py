@@ -248,11 +248,12 @@ def make_dosegan_train_steps(
                                    train=True, mutable=["batch_stats"])
 
     def d_loss_fn(dp, d_stats, g_state, batch):
+        # the reference critic is UNCONDITIONAL: it sees only the dose volume
+        # (netD(real_out) / netD(fake.detach()), train_light_dosegan.py:131-136)
         gt_dose, mask = batch["gt"][..., 0:1], batch["gt"][..., 1:2]
         fake, _ = g_apply(g_state.params, g_state.batch_stats, batch["input"])
-        real_logits, upd = d_apply(dp, d_stats, jnp.concatenate([batch["input"], gt_dose], -1))
-        fake_logits, upd2 = d_apply(dp, upd["batch_stats"],
-                                    jnp.concatenate([batch["input"], fake], -1))
+        real_logits, upd = d_apply(dp, d_stats, gt_dose)
+        fake_logits, upd2 = d_apply(dp, upd["batch_stats"], fake)
         loss = 0.5 * (L.bce_with_logits(real_logits, jnp.ones_like(real_logits))
                       + L.bce_with_logits(fake_logits, jnp.zeros_like(fake_logits)))
         return loss, upd2["batch_stats"]
@@ -260,8 +261,7 @@ def make_dosegan_train_steps(
     def g_loss_fn(gp, g_stats, d_state, batch):
         gt_dose, mask = batch["gt"][..., 0:1], batch["gt"][..., 1:2]
         fake, upd = g_apply(gp, g_stats, batch["input"])
-        fake_logits, _ = d_apply(d_state.params, d_state.batch_stats,
-                                 jnp.concatenate([batch["input"], fake], -1))
+        fake_logits, _ = d_apply(d_state.params, d_state.batch_stats, fake)
         adv = L.bce_with_logits(fake_logits, jnp.ones_like(fake_logits))
         recon = L.masked_l1(fake, gt_dose, mask)
         return adv + l1_weight * recon, upd["batch_stats"]

@@ -981,7 +981,10 @@ class DoseGANTrainer:
         self.gen = UnetGenerator3D(out_ch=1, ngf=ngf)
         self.disc = NLayerDiscriminator(ndf=ndf)
         gx = jnp.zeros(example_shape, jnp.float32)
-        dx = jnp.zeros((*example_shape[:-1], example_shape[-1] + 1), jnp.float32)
+        # the critic consumes only the 1ch dose volume — the reference
+        # NLayerDiscriminator is built with input_nc=1 and fed bare real/fake
+        # doses (train_light_dosegan.py:74,131-136), not input||dose
+        dx = jnp.zeros((*example_shape[:-1], 1), jnp.float32)
         g_vars = jax.jit(self.gen.init)(jax.random.PRNGKey(cfg.seed), gx)
         d_vars = jax.jit(self.disc.init)(jax.random.PRNGKey(cfg.seed + 1), dx)
         self.g_tx = S.make_optimizer(learning_rate=gan_lr, b1=0.5)

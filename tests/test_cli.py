@@ -301,3 +301,85 @@ def test_cli_import_torch_c3d(tmp_path):
                "--volume-size", "32", "--src", str(src2), "--strict",
                "--dest", str(tmp_path / "converted2")])
     assert rc == 1
+
+
+def test_parser_round4b_flags():
+    ap = build_parser()
+    args = ap.parse_args(["infer", "--patient", "p", "--seg-ckpt", "s",
+                          "--dose-ckpt", "d", "--out", "o.nii.gz",
+                          "--roi", "32", "--block-family", "old"])
+    assert args.roi == 32 and args.block_family == "old"
+    args = ap.parse_args(["linked-eval", "--data", "x", "--seg-ckpt", "s",
+                          "--dose-ckpt", "d", "--block-family", "old"])
+    assert args.block_family == "old"
+    args = ap.parse_args(["eval", "--data", "x", "--ckpt", "c",
+                          "--model", "exp", "--act", "relu"])
+    assert args.act == "relu"
+    args = ap.parse_args(["train", "exp", "--data", "x", "--act", "relu"])
+    assert args.act == "relu"
+
+
+@pytest.mark.slow
+def test_cli_vitgan_train_eval_roundtrip(tmp_path):
+    """train vitgan → eval --model vitgan must rebuild the IDENTICAL generator
+    architecture (the reference's MainSubsetModel config,
+    train_light_gan.py:124-133) — r4 review finding: the two paths used to
+    construct different decoders, so trained checkpoints could not be scored."""
+    SIZE = 32
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2,
+                                     shape=(SIZE, SIZE, SIZE))
+    from dose_prediction_tpu.cli.main import main
+
+    rc = main(["train", "vitgan", "--data", pattern, "--epochs", "1",
+               "--max-steps", "2", "--check-val", "1", "--val-data", pattern,
+               "--model-size", "small",
+               "--ckpt-dir", str(tmp_path / "ckpt"), "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["eval", "--data", pattern, "--model", "vitgan",
+                   "--model-size", "small",
+                   "--ckpt", str(tmp_path / "ckpt" / "last"),
+                   "--ckpt-dir", str(tmp_path / "ckpt2"),
+                   "--log-dir", str(tmp_path / "logs2")])
+    assert rc == 0
+    out = buf.getvalue()
+    payload = json.loads(out[out.index("{"):])
+    assert np.isfinite(payload["mean_dose_score"])
+
+
+@pytest.mark.slow
+def test_cli_eval_serves_bare_variables_checkpoint(tmp_path):
+    """eval/predict accept the bare {'params','batch_stats'} layout that
+    import-torch writes, not just trainer slots — r4 review finding (the
+    import-torch help text promises 'servable by eval/predict')."""
+    import jax
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.cli.main import main
+    from dose_prediction_tpu.core.checkpoint import save_checkpoint
+    from dose_prediction_tpu.models import DosePyfer
+
+    SIZE = 16
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2,
+                                     shape=(SIZE, SIZE, SIZE))
+    model = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                      feature_size=2, hidden_size=24, mlp_dim=48,
+                      num_layers=4, num_heads=2)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, SIZE, SIZE, SIZE, 9)))
+    save_checkpoint(tmp_path / "imported", variables)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["eval", "--data", pattern, "--model", "pyfer",
+                   "--model-size", "small", "--ckpt", str(tmp_path / "imported"),
+                   "--ckpt-dir", str(tmp_path / "ckpt"),
+                   "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    out = buf.getvalue()
+    payload = json.loads(out[out.index("{"):])
+    assert np.isfinite(payload["mean_dose_score"])

@@ -98,10 +98,11 @@ def test_dosegan_generator_and_discriminator():
     assert y.shape == (1, 32, 32, 32, 1)
     assert float(jnp.max(jnp.abs(y))) <= 1.0  # tanh head
 
+    # the reference critic is unconditional: 1ch dose only
+    # (NLayerDiscriminator(input_nc=1), train_light_dosegan.py:74,131-136)
     d = NLayerDiscriminator(ndf=4, n_layers=3)
-    pair = jnp.concatenate([x, y], axis=-1)
-    dv = d.init(jax.random.PRNGKey(1), pair)
-    score, _ = d.apply(dv, pair, mutable=["batch_stats"])
+    dv = d.init(jax.random.PRNGKey(1), y)
+    score, _ = d.apply(dv, y, mutable=["batch_stats"])
     assert score.shape == (1, 4, 4, 4, 1)  # 3 stride-2 blocks: 32 -> 4
 
 
