@@ -46,6 +46,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="bfloat16 = native fused augmentation + half H2D "
                         "payload; packed = bit-packed masks + on-device "
                         "augmentation, 6x less H2D (data/packed.py)")
+    p.add_argument("--samples-per-epoch", type=int, default=None,
+                   help="fix the epoch at N samples, cycling through the "
+                        "shuffled cohort with wraparound (the legacy "
+                        "loader's num_samples_per_epoch, "
+                        "dataloader_OpenKBP_C3D.py:117-143)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="average k micro-batch grads per update (effective "
                         "batch k*batch-size at micro-batch memory)")
@@ -270,6 +275,7 @@ def main(argv=None) -> int:
             freeze_net_a=not getattr(args, "no_freeze", False),
             mesh_shape=parse_mesh(getattr(args, "mesh", None)),
             feed_dtype=getattr(args, "feed_dtype", "float32"),
+            samples_per_epoch=getattr(args, "samples_per_epoch", None),
             grad_accum=getattr(args, "grad_accum", 1),
             remat_blocks=getattr(args, "remat_blocks", False),
             profile_dir=getattr(args, "profile_dir", None),

@@ -84,6 +84,7 @@ def packed_dose_batches(
     augment: bool = True,
     seed: int = 0,
     drop_last: bool = False,
+    num_samples_per_epoch: int | None = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """One epoch of packed batches:
     {'ct','dose' (B,D,H,W) bf16; 'ptv','mask_bits' (B,D,H,W) u8;
@@ -92,12 +93,17 @@ def packed_dose_batches(
     Decisions consume the SAME rng stream as dose_batches' numpy chain, so a
     packed run and an f32 run with one seed see identical augmentations.
     Raises ValueError if any patient declines packing — the caller should use
-    the f32 feed for such datasets.
+    the f32 feed for such datasets. ``num_samples_per_epoch`` is the legacy
+    loader's wraparound epoch sizing (dataloader_OpenKBP_C3D.py:129-134),
+    same as dose_batches'.
     """
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
+    if num_samples_per_epoch is not None:
+        reps = -(-num_samples_per_epoch // len(order))
+        order = np.tile(order, reps)[:num_samples_per_epoch]
     for i in range(0, len(order), batch_size):
         idx = order[i:i + batch_size]
         if drop_last and len(idx) < batch_size:

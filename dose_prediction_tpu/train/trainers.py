@@ -69,6 +69,11 @@ class TrainConfig:
     # (6 B/voxel vs 36) and unpacks + augments ON DEVICE inside the jit step
     # (data/packed.py) — the strongest answer to a slow host↔device link.
     feed_dtype: str = "float32"      # 'float32' | 'bfloat16' | 'packed'
+    # legacy-loader epoch sizing: an epoch of exactly N samples, cycling
+    # through the (shuffled) cohort with wraparound when N exceeds it
+    # (MyDataset.__getitem__, dataloader_OpenKBP_C3D.py:117-143). None =
+    # one pass over the cohort per epoch.
+    samples_per_epoch: Optional[int] = None
     # gradient accumulation: average k micro-batch gradients per optimizer
     # update (optax.MultiSteps) — effective batch k·batch_size at micro-batch
     # memory (HBM caps the 128³ flagship at device batch 2)
@@ -190,13 +195,16 @@ def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool):
         patients = getattr(train_ds, "patients", None)
         if patients is not None and all(
                 pack_patient(p) is not None for p in patients):
-            return packed_dose_batches(train_ds, batch_size=cfg.batch_size,
-                                       seed=cfg.seed + epoch, drop_last=drop_last)
+            return packed_dose_batches(
+                train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
+                drop_last=drop_last,
+                num_samples_per_epoch=cfg.samples_per_epoch)
         print("[feed] dataset not packable (non-binary masks or non-integer "
               "70*PTV); falling back to the float32 feed")
     return dose_batches(train_ds, batch_size=cfg.batch_size,
                         seed=cfg.seed + epoch, drop_last=drop_last,
-                        native_bf16=cfg.feed_dtype == "bfloat16")
+                        native_bf16=cfg.feed_dtype == "bfloat16",
+                        num_samples_per_epoch=cfg.samples_per_epoch)
 
 
 def _sliding_val_sweep(run, variables, val_ds, val_loss_fn,

@@ -128,6 +128,19 @@ def test_dose_batches_wraparound(tmp_path):
                                 num_samples_per_epoch=5))
     assert len(batches) == 5  # 2-patient dataset cycled to 5 samples
 
+    # same wraparound semantics on the packed feed, and wired through
+    # TrainConfig.samples_per_epoch → _train_batches
+    from dose_prediction_tpu.data.packed import packed_dose_batches
+
+    packed = list(packed_dose_batches(ds, batch_size=1, shuffle=False,
+                                      augment=False, num_samples_per_epoch=5))
+    assert len(packed) == 5
+
+    from dose_prediction_tpu.train.trainers import TrainConfig, _train_batches
+
+    cfg = TrainConfig(samples_per_epoch=5)
+    assert len(list(_train_batches(cfg, ds, 0, drop_last=False))) == 5
+
 
 def test_linked_batches(tmp_path):
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
