@@ -126,6 +126,25 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write per-patient DVH figures + GT/pred/error slice "
                          "triptychs here (train_light_pyfer.py:222-263)")
 
+    se = sub.add_parser("seg-eval",
+                        help="OAR segmentation scoring sweep: sliding-window "
+                             "Dice + HD95 + DiceCE val loss over a cohort "
+                             "(the reference seg test path, "
+                             "train_light_transeg.py:205-242)")
+    _add_common(se)
+    se.add_argument("--ckpt", required=True, help="seg-model checkpoint "
+                    "(trainer slot or import-torch output)")
+    se.add_argument("--mode-model", type=int, choices=[0, 1], default=1,
+                    help="0 = plain MONAI UNETR, 1 = TranSeg")
+    se.add_argument("--block-family", choices=["seg", "old", "ablation"],
+                    default="seg")
+    se.add_argument("--sw-batch", type=int, default=4)
+    se.add_argument("--roi", type=int, default=96,
+                    help="sliding-window ROI the checkpoint was trained at")
+    se.add_argument("--private-data", action="store_true",
+                    help="treat --data as the private 13-OAR head dataset "
+                         "(scores its fixed 16-patient val split)")
+
     inf = sub.add_parser("infer", help="linked cascade inference on one patient")
     inf.add_argument("--patient", required=True, help="patient directory")
     inf.add_argument("--seg-ckpt", required=True)
@@ -594,6 +613,44 @@ def main(argv=None) -> int:
         trainer, _ = restored_dose_trainer(args.model, ds.patients[0].ct.shape)
         results = trainer.test(ds, plots_dir=args.plots_dir)
         print(json.dumps({k: v for k, v in results.items() if k != "per_patient"}, indent=2))
+        return 0
+
+    if args.cmd == "seg-eval":
+        from dose_prediction_tpu.core.checkpoint import (
+            restore_checkpoint,
+            variables_from_checkpoint,
+        )
+        from dose_prediction_tpu.train.trainers import TranSegTrainer as _TST
+
+        if getattr(args, "private_data", False):
+            from dose_prediction_tpu.data.private_seg import PrivateSegDataset
+
+            ds = PrivateSegDataset(args.data, split="val").as_seg()
+            num_classes = 14
+        else:
+            ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
+            num_classes = 8
+        cfg = make_cfg()
+        crop = (args.roi,) * 3
+        if args.mode_model == 0:
+            from dose_prediction_tpu.models import UNETR
+            from dose_prediction_tpu.train.trainers import UNETRSegTrainer
+
+            small = getattr(args, "model_size", "full") == "small"
+            model = (UNETR(out_ch=num_classes, feature_size=2, hidden_size=24,
+                           mlp_dim=48, num_layers=4, num_heads=2)
+                     if small else None)
+            tr = UNETRSegTrainer(cfg, model=model, crop=crop,
+                                 num_classes=num_classes)
+        else:
+            tr = _TST(cfg, model=transeg_model(out_ch=num_classes,
+                                               block_family=args.block_family),
+                      crop=crop, num_classes=num_classes)
+        variables = variables_from_checkpoint(restore_checkpoint(args.ckpt))
+        tr.state = _graft_variables(tr.state, variables, "seg model")
+        dice, hd95, val_loss = tr.validate(ds, sw_batch_size=args.sw_batch)
+        print(json.dumps({"dice_metric": dice, "hd95_metric": hd95,
+                          "val_loss": val_loss}, indent=2))
         return 0
 
     if args.cmd == "predict":

@@ -383,3 +383,51 @@ def test_cli_eval_serves_bare_variables_checkpoint(tmp_path):
     out = buf.getvalue()
     payload = json.loads(out[out.index("{"):])
     assert np.isfinite(payload["mean_dose_score"])
+
+
+def test_parser_seg_eval_flags():
+    ap = build_parser()
+    args = ap.parse_args(["seg-eval", "--data", "x", "--ckpt", "c",
+                          "--mode-model", "1", "--block-family", "old",
+                          "--roi", "32", "--sw-batch", "2"])
+    assert args.cmd == "seg-eval" and args.block_family == "old"
+    assert args.roi == 32 and args.sw_batch == 2 and not args.private_data
+    args = ap.parse_args(["train", "pyfer", "--data", "x",
+                          "--samples-per-epoch", "240"])
+    assert args.samples_per_epoch == 240
+
+
+@pytest.mark.slow
+def test_cli_seg_eval(tmp_path):
+    """seg-eval: cohort Dice + HD95 + DiceCE sweep from the CLI — the seg
+    counterpart of eval (reference test path train_light_transeg.py:205-242);
+    accepts the bare-variables layout import-torch writes."""
+    import jax
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.cli.main import main
+    from dose_prediction_tpu.core.checkpoint import save_checkpoint
+    from dose_prediction_tpu.models import TranSeg
+
+    SIZE = 16
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2,
+                                     shape=(SIZE, SIZE, SIZE))
+    seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                  num_layers=4, num_heads=2)
+    variables = seg.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, SIZE, SIZE, SIZE, 1)))
+    save_checkpoint(tmp_path / "seg_ckpt", variables)
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["seg-eval", "--data", pattern, "--model-size", "small",
+                   "--ckpt", str(tmp_path / "seg_ckpt"), "--roi", str(SIZE),
+                   "--sw-batch", "1",
+                   "--ckpt-dir", str(tmp_path / "ckpt"),
+                   "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    out = buf.getvalue()
+    payload = json.loads(out[out.index("{"):])
+    assert np.isfinite(payload["dice_metric"])
+    assert np.isfinite(payload["val_loss"])
