@@ -264,3 +264,26 @@ def test_pbt_improves_population():
     assert res["best_value"] == min(values)
     # population collapsed near the best: spread shrinks vs a log-uniform draw
     assert max(values) / min(values) < 1e2
+
+
+def test_concurrent_trials_pin_distinct_devices():
+    """The 'one trial per device sub-slice' contract (Ray tune analogue):
+    with max_concurrent>1 each trial's computation is COMMITTED to its
+    round-robin device — on the 8-device virtual mesh the result buffers
+    must actually land on more than one device (VERDICT r3 weak #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    trial_devices = []
+
+    def train_trial(config, report):
+        out = jnp.asarray([config["lr"]]) * 2.0   # commits to default_device
+        trial_devices.append(next(iter(out.devices())))
+        report(1, config["lr"])
+        return config["lr"]
+
+    res = run_search(train_trial, space={"lr": LogUniform(1e-4, 1e-1)},
+                     num_samples=8, seed=0, mode="min", max_concurrent=4)
+    assert len(res["trials"]) == 8
+    # 8 trials round-robined over 8 virtual devices through a 4-thread pool
+    assert len(set(trial_devices)) >= 4
