@@ -330,6 +330,14 @@ def main(argv=None) -> int:
         return TranSeg(out_ch=out_ch, block_family=block_family,
                        trained_grid=trained_grid, **kw)
 
+    def unetr_model(out_ch=8):
+        from dose_prediction_tpu.models import UNETR
+
+        if getattr(args, "model_size", "full") == "small":
+            return UNETR(out_ch=out_ch, feature_size=2, hidden_size=24,
+                         mlp_dim=48, num_layers=4, num_heads=2)
+        return UNETR(out_ch=out_ch)
+
     def build_dose_trainer(model_name: str, cfg, shape):
         """ONE construction path for ``train`` and ``eval``/``predict`` so a
         train → eval round trip always rebuilds the identical architecture
@@ -407,45 +415,44 @@ def main(argv=None) -> int:
             model = transeg_model(block_family=args.block_family)
             shape = (1, args.roi, args.roi, args.roi, 1)
         elif args.kind == "unetr":
-            from dose_prediction_tpu.models import UNETR
-
-            model = (UNETR(out_ch=8, feature_size=2, hidden_size=24,
-                           mlp_dim=48, num_layers=4, num_heads=2) if small
-                     else UNETR())
+            model = unetr_model()
             shape = (1, args.roi, args.roi, args.roi, 1)
         elif args.kind == "resnet10":
             from dose_prediction_tpu.models.experiments import ResNet3D
 
             model = (ResNet3D(widths=(4, 8, 16, 32)) if small else ResNet3D())
-            s = args.volume_size
+            s = min(args.volume_size, 64)   # conv-only: shapes volume-free
             shape = (1, s, s, s, 1)
         elif args.kind == "hdunet":
             from dose_prediction_tpu.models import HDUNet
 
             model = (HDUNet(growth_rate=4, upsample_chan=8) if small else HDUNet())
-            s = args.volume_size
+            s = min(args.volume_size, 64)
             shape = (1, s, s, s, 9)
         elif args.kind == "dosegan-g":
             from dose_prediction_tpu.models.dosegan import UnetGenerator3D
 
             model = UnetGenerator3D(out_ch=1, ngf=4 if small else 64)
-            s = args.volume_size
+            s = min(args.volume_size, 64)   # 6 down levels need >= 64
             shape = (1, s, s, s, 9)
         elif args.kind == "dosegan-d":
             from dose_prediction_tpu.models.dosegan import NLayerDiscriminator
 
             model = NLayerDiscriminator(ndf=4 if small else 64)
-            s = args.volume_size
+            s = min(args.volume_size, 64)
             shape = (1, s, s, s, 1)
         else:
+            # pyfer's ViT pos-embed grid IS volume-dependent — init at the
+            # true serve volume; the conv-only C3D can init small
             model = pyfer_model() if args.kind == "pyfer" else None
+            s = args.volume_size
             if model is None:
                 from dose_prediction_tpu.models import CascadeC3D
 
                 model = (CascadeC3D(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
                                     list_ch_B=(-1, 2, 4, 8, 16, 32)) if small
                          else CascadeC3D())
-            s = args.volume_size
+                s = min(args.volume_size, 64)
             shape = (1, s, s, s, 9)
         # REAL model init (one jit'd forward): any target leaf the source does
         # not cover keeps its proper initialization — the reference's
@@ -508,14 +515,9 @@ def main(argv=None) -> int:
             return 0
         if args.model == "transeg":
             if getattr(args, "mode_model", 1) == 0:
-                from dose_prediction_tpu.models import UNETR
                 from dose_prediction_tpu.train.trainers import UNETRSegTrainer
 
-                small = getattr(args, "model_size", "full") == "small"
-                model = (UNETR(out_ch=8, feature_size=2, hidden_size=24,
-                               mlp_dim=48, num_layers=4, num_heads=2)
-                         if small else None)
-                trainer = UNETRSegTrainer(cfg, model=model)
+                trainer = UNETRSegTrainer(cfg, model=unetr_model())
             else:
                 trainer = TranSegTrainer(cfg, model=transeg_model(
                     block_family=getattr(args, "block_family", "seg")))
@@ -633,15 +635,10 @@ def main(argv=None) -> int:
         cfg = make_cfg()
         crop = (args.roi,) * 3
         if args.mode_model == 0:
-            from dose_prediction_tpu.models import UNETR
             from dose_prediction_tpu.train.trainers import UNETRSegTrainer
 
-            small = getattr(args, "model_size", "full") == "small"
-            model = (UNETR(out_ch=num_classes, feature_size=2, hidden_size=24,
-                           mlp_dim=48, num_layers=4, num_heads=2)
-                     if small else None)
-            tr = UNETRSegTrainer(cfg, model=model, crop=crop,
-                                 num_classes=num_classes)
+            tr = UNETRSegTrainer(cfg, model=unetr_model(out_ch=num_classes),
+                                 crop=crop, num_classes=num_classes)
         else:
             tr = _TST(cfg, model=transeg_model(out_ch=num_classes,
                                                block_family=args.block_family),
@@ -674,10 +671,13 @@ def main(argv=None) -> int:
     if args.cmd == "linked-eval":
         from dose_prediction_tpu.train.linked import LinkedModel
 
+        from dose_prediction_tpu.models import TranSeg
+
         ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
         seg_model, dose_model = None, None
         if getattr(args, "model_size", "full") == "small":
-            grid = ((args.roi // 16,) * 3 if args.seg_mode == "dense" else None)
+            grid = ((args.roi // TranSeg.patch_size,) * 3
+                    if args.seg_mode == "dense" else None)
             seg_model = transeg_model(block_family=args.block_family,
                                       trained_grid=grid)
             dose_model = pyfer_model()
@@ -727,8 +727,9 @@ def main(argv=None) -> int:
             dose = DosePyfer(dtype=dtype)
         seg_vars = variables_from_checkpoint(restore_checkpoint(args.seg_ckpt))
         dose_vars = variables_from_checkpoint(restore_checkpoint(args.dose_ckpt))
-        # the shipped AOT sweep was built at sw_batch 8 (bench geometry)
+        # the shipped AOT sweep was built at roi 96 / sw_batch 8 (bench geometry)
         run = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                              roi_size=(args.roi,) * 3,
                               seg_mode=args.seg_mode,
                               sw_batch_size=8 if serve_bf16 else 4,
                               aot=serve_bf16,

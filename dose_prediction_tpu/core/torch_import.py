@@ -583,13 +583,17 @@ def dosegan_d_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
 
 def _import_with_stats(sd_or_path, key_map: KeyMap, target_variables: Any, *,
                        transposed=None, verbose: bool = True):
+    """Shared import body: key-map, split params/batch_stats, merge both.
+    The returned stats AGGREGATE the params and batch_stats merges, so a
+    strict caller also sees uncovered/shape-skipped running stats."""
     sd = load_torch_checkpoint(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
     tree = state_dict_to_tree(sd, key_map, transposed=transposed)
     p_tree, s_tree = split_batch_stats(tree)
     params, stats = merge_partial(target_variables["params"], p_tree, verbose=verbose)
     bstats = target_variables.get("batch_stats", {})
-    if s_tree:
-        bstats, _ = merge_partial(bstats, s_tree, verbose=verbose)
+    if bstats or s_tree:
+        bstats, b_stats = merge_partial(bstats, s_tree, verbose=verbose)
+        stats = {k: stats[k] + b_stats[k] for k in stats}
     return {"params": params, "batch_stats": bstats}, stats
 
 

@@ -98,13 +98,17 @@ def seg_batches(
     seed: int = 0,
     drop_last: bool = False,
     feed_dtype: str = "float32",
+    num_samples_per_epoch: int | None = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Seg epochs: pos/neg crops ×num_samples per patient, batched
     ({'ct': (N,*crop,1), 'labels': (N,*crop) uint8}).
 
     Labels ship as uint8 (≤255 classes always holds; the train step casts to
     int32 on device) and ``feed_dtype='bfloat16'`` ships the CT window as bf16
-    — together a 2.8× H2D payload cut per crop on slow host↔device links."""
+    — together a 2.8× H2D payload cut per crop on slow host↔device links.
+    ``num_samples_per_epoch`` is the legacy wraparound epoch sizing
+    (dataloader_OpenKBP_C3D.py:129-134) counted in PATIENT VISITS — each
+    visit contributes ``num_samples`` crops."""
     rng = np.random.default_rng(seed)
     ct_dtype: Any = np.float32
     if feed_dtype == "bfloat16":
@@ -114,6 +118,9 @@ def seg_batches(
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
+    if num_samples_per_epoch is not None:
+        reps = -(-num_samples_per_epoch // len(order))
+        order = np.tile(order, reps)[:num_samples_per_epoch]
     buf_ct: List[np.ndarray] = []
     buf_lab: List[np.ndarray] = []
     for j in order:

@@ -286,14 +286,30 @@ def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any]):
     next candidate instead of killing the run. Returns
     (tree|None, start_epoch)."""
     restored = None
+    last_failed = False
     try:
         restored = ckpt.restore_last(template)
     except Exception as e:
+        last_failed = True
         print(f"[resume] 'last' slot unreadable ({type(e).__name__}); "
               f"falling back to monitored checkpoints")
     if restored is None:
-        _, restored = ckpt.restore_latest(template)
+        try:
+            _, restored = ckpt.restore_latest(template)
+        except Exception as e:
+            print(f"[resume] monitored checkpoints unreadable "
+                  f"({type(e).__name__})")
+            last_failed = True
     if restored is None:
+        if last_failed:
+            # checkpoints EXIST but none matched the current state template —
+            # usually an architecture/optimizer change (e.g. the critic's
+            # 10ch→1ch fix), not a fresh run. Warn loudly: continuing will
+            # overwrite the old slots.
+            print("[resume] WARNING: existing checkpoints could not be "
+                  "restored against the current model/optimizer structure "
+                  "(architecture changed?); starting FRESH — subsequent "
+                  "saves will overwrite the old slots")
         return None, 0
     return restored, int(restored["epoch"]) + 1
 
@@ -827,6 +843,7 @@ class TranSegTrainer:
                     train_ds, crop=self.crop, num_samples=num_samples,
                     batch_size=cfg.batch_size, seed=cfg.seed + epoch,
                     drop_last=self.batch_sharding is not None,
+                    num_samples_per_epoch=cfg.samples_per_epoch,
                     # seg has no bit-packed format; 'packed' maps to the bf16 CT
                     feed_dtype="bfloat16" if cfg.feed_dtype in ("bfloat16", "packed")
                     else "float32"),

@@ -141,6 +141,13 @@ def test_dose_batches_wraparound(tmp_path):
     cfg = TrainConfig(samples_per_epoch=5)
     assert len(list(_train_batches(cfg, ds, 0, drop_last=False))) == 5
 
+    # seg feed: wraparound counted in patient visits, num_samples crops each
+    from dose_prediction_tpu.data.pipeline import seg_batches
+
+    crops = list(seg_batches(ds, crop=(8, 8, 8), num_samples=2, batch_size=2,
+                             shuffle=False, num_samples_per_epoch=3))
+    assert sum(b["ct"].shape[0] for b in crops) == 6  # 3 visits x 2 crops
+
 
 def test_linked_batches(tmp_path):
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
