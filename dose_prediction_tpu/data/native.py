@@ -72,6 +72,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint16),
             ctypes.c_int]
+    if hasattr(lib, "dose_io_augment_seg_bf16"):
+        lib.dose_io_augment_seg_bf16.restype = ctypes.c_int
+        lib.dose_io_augment_seg_bf16.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -207,6 +217,45 @@ def augment_dose_bf16(inp: np.ndarray, gt: np.ndarray,
     if rc != 0:
         return None
     return out_inp, out_gt
+
+
+def augment_seg_bf16(ct: np.ndarray, labels_u8: np.ndarray,
+                     start: Tuple[int, int, int], crop: Sequence[int],
+                     decisions: Tuple[float, int, int], *,
+                     n_threads: int = 4
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Fused native seg crop + flips/rot90/intensity-shift + bf16 cast for ONE
+    crop of a (D,H,W) CT volume with (D,H,W) uint8 labels: a single gather
+    pass instead of the numpy chain's slice + flip/rot copies + cast, and the
+    CT ships as bf16 (half the H2D payload). Returns (ct_u16_bf16, labels_u8)
+    crops or None when the native library is unavailable / inputs unfit —
+    callers fall back to the numpy chain with the SAME pre-drawn decisions
+    (the random stream must not diverge)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dose_io_augment_seg_bf16"):
+        return None
+    if ct.dtype != np.float32 or labels_u8.dtype != np.uint8 or ct.ndim != 3:
+        return None
+    ct = np.ascontiguousarray(ct)
+    labels_u8 = np.ascontiguousarray(labels_u8)
+    shift, flip_mask, rot_k = decisions
+    d, h, w = ct.shape
+    z0, y0, x0 = (int(s) for s in start)
+    cd, ch, cw = (int(c) for c in crop)
+    od, oh = (ch, cd) if rot_k % 2 else (cd, ch)
+    out_ct = np.empty((od, oh, cw), np.uint16)
+    out_lab = np.empty((od, oh, cw), np.uint8)
+    rc = lib.dose_io_augment_seg_bf16(
+        ct.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        labels_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        d, h, w, z0, y0, x0, cd, ch, cw,
+        shift, flip_mask, rot_k,
+        out_ct.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out_lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads)
+    if rc != 0:
+        return None
+    return out_ct, out_lab
 
 
 def preprocess_ct_inplace(buf: np.ndarray, a_min: float = -1024.0,

@@ -121,10 +121,46 @@ def seg_batches(
     if num_samples_per_epoch is not None:
         reps = -(-num_samples_per_epoch // len(order))
         order = np.tile(order, reps)[:num_samples_per_epoch]
+    # bf16 feed: fused native crop+augment gather (one C++ pass emitting bf16
+    # CT + u8 labels) when the library is available and no padding is needed;
+    # decisions share the numpy chain's rng stream either way
+    use_native = False
+    if feed_dtype == "bfloat16":
+        from dose_prediction_tpu.data import native as N
+
+        lib = N.get_lib()
+        use_native = lib is not None and hasattr(lib, "dose_io_augment_seg_bf16")
     buf_ct: List[np.ndarray] = []
     buf_lab: List[np.ndarray] = []
     for j in order:
         p = dataset[int(j)]
+        if use_native and all(s >= c for s, c in zip(p.ct.shape, crop)):
+            from dose_prediction_tpu.data.transforms import (
+                apply_seg_augment,
+                draw_seg_aug_decisions,
+                seg_crop_starts,
+            )
+
+            labels_u8 = np.ascontiguousarray(p.oars_label_encoded, np.uint8)
+            ct_f32 = np.ascontiguousarray(p.ct, np.float32)
+            starts = seg_crop_starts(ct_f32.shape, labels_u8, rng,
+                                     crop=crop, num_samples=num_samples)
+            for start in starts:
+                decisions = draw_seg_aug_decisions(rng)
+                res = N.augment_seg_bf16(ct_f32, labels_u8, start, crop, decisions)
+                if res is not None:
+                    buf_ct.append(res[0].view(ct_dtype)[..., None])
+                    buf_lab.append(res[1])
+                else:
+                    sl = tuple(slice(s, s + c) for s, c in zip(start, crop))
+                    cvol, clab = apply_seg_augment(ct_f32[sl], labels_u8[sl],
+                                                   *decisions)
+                    buf_ct.append(cvol[..., None].astype(ct_dtype))
+                    buf_lab.append(clab)
+                if len(buf_ct) == batch_size:
+                    yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
+                    buf_ct, buf_lab = [], []
+            continue
         for cvol, clab in augment_seg_sample(p.ct, p.oars_label_encoded.astype(np.float32),
                                              rng, crop=crop, num_samples=num_samples):
             buf_ct.append(cvol[..., None].astype(ct_dtype))

@@ -51,15 +51,36 @@ def rand_rotate90(arrays: Arrays, rng: np.random.Generator,
 
 
 def _sample_crop_start(label: np.ndarray, rng: np.random.Generator,
-                       spatial_size: Sequence[int], *, pos: float, neg: float) -> Tuple[int, int, int]:
-    """Pick a crop start: sample a center from label-positive (prob
-    pos/(pos+neg)) or background voxels, then clamp so the window fits."""
+                       spatial_size: Sequence[int], *, pos: float, neg: float,
+                       fg_indices: Optional[np.ndarray] = None) -> Tuple[int, int, int]:
+    """Pick a crop start: sample a center uniformly from label-positive (prob
+    pos/(pos+neg)) or background voxels, then clamp so the window fits.
+
+    Foreground centers draw from ``fg_indices`` (pass the cached
+    ``np.argwhere(label > 0)`` when sampling the same volume repeatedly).
+    Background centers use bounded REJECTION sampling — uniform over the
+    background set without materializing ``argwhere(label <= 0)`` (a ~48 MB
+    index array per draw on 128³ volumes; the seg feed's old host hotspot)."""
     shape = label.shape[:3]
     take_pos = rng.random() < pos / (pos + neg)
-    fg = np.argwhere(label > 0) if take_pos else np.argwhere(label <= 0)
-    if len(fg) == 0:
-        fg = np.argwhere(np.ones(shape, bool))
-    center = fg[rng.integers(len(fg))][:3]
+    def _uniform_center():
+        return (int(rng.integers(shape[0])), int(rng.integers(shape[1])),
+                int(rng.integers(shape[2])))
+
+    if take_pos:
+        fg = fg_indices if fg_indices is not None else np.argwhere(label > 0)
+        center = fg[rng.integers(len(fg))][:3] if len(fg) else _uniform_center()
+    else:
+        center = None
+        for _ in range(64):   # bg is the majority class in practice
+            c = _uniform_center()
+            if label[c] <= 0:
+                center = c
+                break
+        if center is None:    # (near-)all-foreground volume: exact fallback
+            bg = np.argwhere(label <= 0)
+            center = (bg[rng.integers(len(bg))][:3] if len(bg)
+                      else _uniform_center())
     return tuple(
         int(np.clip(center[i] - spatial_size[i] // 2, 0, shape[i] - spatial_size[i]))
         for i in range(3)
@@ -71,10 +92,15 @@ def rand_crop_pos_neg(arrays: Arrays, label: np.ndarray, rng: np.random.Generato
                       pos: float = 2.0, neg: float = 1.0,
                       num_samples: int = 1) -> List[Arrays]:
     """RandCropByPosNegLabeld: num_samples crops per volume, centers biased to
-    label-positive voxels (provided_dataset.py:158-167)."""
+    label-positive voxels (provided_dataset.py:158-167). The foreground index
+    set is computed at most once per call, not once per sample."""
     out = []
+    fg: Optional[np.ndarray] = None
     for _ in range(num_samples):
-        z0, y0, x0 = _sample_crop_start(label, rng, spatial_size, pos=pos, neg=neg)
+        if fg is None and np.any(label > 0):
+            fg = np.argwhere(label > 0)
+        z0, y0, x0 = _sample_crop_start(label, rng, spatial_size,
+                                        pos=pos, neg=neg, fg_indices=fg)
         sz, sy, sx = spatial_size
         crop = {
             k: v[z0:z0 + sz, y0:y0 + sy, x0:x0 + sx]
@@ -209,3 +235,53 @@ def augment_seg_sample(ct: np.ndarray, labels: np.ndarray, rng: np.random.Genera
         cvol = rand_shift_intensity(d["ct"], rng)
         out.append((np.ascontiguousarray(cvol), np.ascontiguousarray(d["labels"])))
     return out
+
+
+def draw_seg_aug_decisions(rng: np.random.Generator,
+                           *, flip_prob: float = 0.10, rot_prob: float = 0.10,
+                           max_k: int = 3, shift_prob: float = 0.50,
+                           offsets: float = 0.10) -> Tuple[float, int, int]:
+    """Draw one seg crop's (shift, flip_mask, rot_k) in EXACTLY the rng order
+    augment_seg_sample's per-crop chain consumes them (3 flips → rot90 →
+    intensity shift — note: a DIFFERENT order from the dose chain's
+    draw_augment_decisions), so the native fused gather and the numpy chain
+    see one identical random stream for a given rng state."""
+    flip_mask = 0
+    for axis in range(3):
+        if rng.random() < flip_prob:
+            flip_mask |= 1 << axis
+    rot_k = int(rng.integers(1, max_k + 1)) if rng.random() < rot_prob else 0
+    shift = float(rng.uniform(-offsets, offsets)) if rng.random() < shift_prob else 0.0
+    return shift, flip_mask, rot_k
+
+
+def apply_seg_augment(ct_crop: np.ndarray, labels_crop: np.ndarray,
+                      shift: float, flip_mask: int, rot_k: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic numpy application of pre-drawn seg-augment decisions —
+    the fallback partner of the native fused gather (both consume ONE set of
+    draws, so the random stream never diverges between paths)."""
+    for axis in range(3):
+        if flip_mask & (1 << axis):
+            ct_crop = np.flip(ct_crop, axis=axis)
+            labels_crop = np.flip(labels_crop, axis=axis)
+    if rot_k:
+        ct_crop = np.rot90(ct_crop, k=rot_k, axes=(0, 1))
+        labels_crop = np.rot90(labels_crop, k=rot_k, axes=(0, 1))
+    ct_crop = np.ascontiguousarray(ct_crop)
+    if shift:
+        ct_crop = ct_crop + np.float32(shift)
+    return ct_crop, np.ascontiguousarray(labels_crop)
+
+
+def seg_crop_starts(ct_shape: Sequence[int], labels: np.ndarray,
+                    rng: np.random.Generator, *, crop: Sequence[int],
+                    num_samples: int) -> List[Tuple[int, int, int]]:
+    """The crop-start draws of augment_seg_sample, standalone: same stream,
+    same clamping — the native fused path samples starts here and gathers in
+    C++ (the volume must already fit the crop; callers pad first)."""
+    fg = np.argwhere(labels > 0) if np.any(labels > 0) else np.empty((0, 3), np.int64)
+    return [
+        _sample_crop_start(labels, rng, crop, pos=2.0, neg=1.0, fg_indices=fg)
+        for _ in range(num_samples)
+    ]

@@ -372,4 +372,74 @@ int dose_io_augment_dose_bf16(const float* inp, const float* gt,
   return 0;
 }
 
+// Fused seg-task crop + augmentation + bf16 cast (the seg train-feed hot
+// path). Semantics mirror data/transforms.augment_seg_sample for ONE crop:
+// window [z0:z0+cd, y0:y0+ch, x0:x0+cw] of the (D,H,W) volume, independent
+// flips over the three crop axes, then rot90(k, axes=(0,1)), CT intensity
+// shift. Decisions are drawn by the Python caller (same rng stream as the
+// numpy chain); this function is a deterministic single gather pass.
+// ct: (D,H,W) f32; labels: (D,H,W) u8. Output crop dims (od,oh,cw) with
+// (od,oh) = rot_k odd ? (ch,cd) : (cd,ch).
+int dose_io_augment_seg_bf16(const float* ct, const uint8_t* labels,
+                             int64_t d, int64_t h, int64_t w,
+                             int64_t z0, int64_t y0, int64_t x0,
+                             int64_t cd, int64_t ch, int64_t cw,
+                             float shift, int flip_mask, int rot_k,
+                             uint16_t* out_ct, uint8_t* out_labels,
+                             int n_threads) {
+  if (z0 < 0 || y0 < 0 || x0 < 0 ||
+      z0 + cd > d || y0 + ch > h || x0 + cw > w)
+    return 1;
+  rot_k = ((rot_k % 4) + 4) % 4;
+  const int64_t od = (rot_k % 2) ? ch : cd;
+  const int64_t oh = (rot_k % 2) ? cd : ch;
+
+  auto to_bf16 = [](float f) -> uint16_t {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    uint32_t lsb = (x >> 16) & 1u;
+    x += 0x7fffu + lsb;  // round to nearest even
+    return static_cast<uint16_t>(x >> 16);
+  };
+
+  auto process_rows = [&](int64_t row0, int64_t row1) {
+    for (int64_t i = row0; i < row1; ++i) {
+      for (int64_t j = 0; j < oh; ++j) {
+        // invert rot90^k on the crop (np.rot90: out[i,j] = in[j, CH-1-i]),
+        // then invert the (involutive) flips, then add the crop offset
+        int64_t sd, sh;
+        switch (rot_k) {
+          case 0: sd = i;           sh = j;           break;
+          case 1: sd = j;           sh = ch - 1 - i;  break;   // out (CH,CD)
+          case 2: sd = cd - 1 - i;  sh = ch - 1 - j;  break;
+          default: sd = cd - 1 - j; sh = i;           break;   // k=3
+        }
+        if (flip_mask & 1) sd = cd - 1 - sd;
+        if (flip_mask & 2) sh = ch - 1 - sh;
+        const int64_t src_row = ((z0 + sd) * h + (y0 + sh)) * w + x0;
+        const int64_t out_row = (i * oh + j) * cw;
+        for (int64_t k = 0; k < cw; ++k) {
+          const int64_t sw = (flip_mask & 4) ? (cw - 1 - k) : k;
+          out_ct[out_row + k] = to_bf16(ct[src_row + sw] + shift);
+          out_labels[out_row + k] = labels[src_row + sw];
+        }
+      }
+    }
+  };
+
+  if (n_threads <= 1 || od < 2 * n_threads) {
+    process_rows(0, od);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  int64_t chunk = (od + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int64_t r0 = t * chunk, r1 = std::min(od, r0 + chunk);
+    if (r0 >= r1) break;
+    threads.emplace_back([=] { process_rows(r0, r1); });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 }  // extern "C"

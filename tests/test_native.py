@@ -132,3 +132,54 @@ def test_dose_batches_native_bf16(tmp_path):
         np.testing.assert_array_equal(
             n["gt"].view(np.uint16),
             r["gt"].astype(ml_dtypes.bfloat16).view(np.uint16))
+
+
+def test_native_seg_augment_matches_numpy_chain():
+    """Fused seg crop+flip/rot90/shift+bf16 gather == the numpy chain bit-for-
+    bit (labels exactly, CT after bf16 rounding), sharing one rng stream."""
+    import ml_dtypes
+
+    from dose_prediction_tpu.data import native as N
+    from dose_prediction_tpu.data import transforms as T
+
+    if not N.native_available() or not hasattr(N.get_lib(), "dose_io_augment_seg_bf16"):
+        pytest.skip("native library unavailable")
+    g = np.random.default_rng(3)
+    ct = g.standard_normal((48, 48, 48)).astype(np.float32)
+    labels = ((g.random((48, 48, 48)) < 0.05) * 3).astype(np.uint8)
+    for seed in range(4):
+        r1, r2 = np.random.default_rng(seed), np.random.default_rng(seed)
+        ref = T.augment_seg_sample(ct, labels.astype(np.float32), r1,
+                                   crop=(32, 32, 32), num_samples=3)
+        starts = T.seg_crop_starts(ct.shape, labels, r2,
+                                   crop=(32, 32, 32), num_samples=3)
+        for (rv, rl), start in zip(ref, starts):
+            dec = T.draw_seg_aug_decisions(r2)
+            out = N.augment_seg_bf16(ct, labels, start, (32, 32, 32), dec)
+            assert out is not None
+            np.testing.assert_array_equal(out[1], rl.astype(np.uint8))
+            np.testing.assert_array_equal(
+                out[0].view(ml_dtypes.bfloat16).astype(np.float32),
+                rv.astype(ml_dtypes.bfloat16).astype(np.float32))
+
+
+def test_seg_batches_native_bf16(tmp_path):
+    """seg_batches(feed_dtype='bfloat16') rides the fused native gather and
+    yields bf16 CT + uint8 labels with the right shapes."""
+    import ml_dtypes
+
+    from dose_prediction_tpu.data import native as N
+    from dose_prediction_tpu.data.openkbp import OpenKBPDataset
+    from dose_prediction_tpu.data.pipeline import seg_batches
+    from dose_prediction_tpu.data.synthetic import make_synthetic_dataset
+
+    if not N.native_available() or not hasattr(N.get_lib(), "dose_io_augment_seg_bf16"):
+        pytest.skip("native library unavailable")
+    pattern = make_synthetic_dataset(tmp_path / "d", n_patients=2, shape=(32, 32, 32))
+    ds = OpenKBPDataset(pattern)
+    batches = list(seg_batches(ds, crop=(16, 16, 16), num_samples=2,
+                               batch_size=2, seed=0, feed_dtype="bfloat16"))
+    assert sum(b["ct"].shape[0] for b in batches) == 4
+    assert batches[0]["ct"].dtype == ml_dtypes.bfloat16
+    assert batches[0]["labels"].dtype == np.uint8
+    assert batches[0]["ct"].shape[1:] == (16, 16, 16, 1)
