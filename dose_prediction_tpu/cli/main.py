@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="seg task: treat --data as the private 13-OAR head "
                          "dataset (fixed 16-patient val split, "
                          "train_light_transeg.py:64-82)")
+    tr.add_argument("--roi", type=int, default=96,
+                    help="seg task: training crop / validation sliding-window "
+                         "ROI (the reference trains at 96, "
+                         "train_light_transeg.py:151-158)")
     # C3D optimizer/scheduler selection (train_light_c3d.py:179-243)
     tr.add_argument("--lr-encoder", type=float, default=None,
                     help="c3d: separate encoder LR (network_trainer.py:110-118)")
@@ -510,17 +514,20 @@ def main(argv=None) -> int:
                 cfg, model=transeg_model(
                     out_ch=14,
                     block_family=getattr(args, "block_family", "seg")),
-                num_classes=14)
+                crop=(args.roi,) * 3, num_classes=14)
             trainer.fit(train_ds, val_ds)
             return 0
         if args.model == "transeg":
             if getattr(args, "mode_model", 1) == 0:
                 from dose_prediction_tpu.train.trainers import UNETRSegTrainer
 
-                trainer = UNETRSegTrainer(cfg, model=unetr_model())
+                trainer = UNETRSegTrainer(cfg, model=unetr_model(),
+                                          crop=(args.roi,) * 3)
             else:
-                trainer = TranSegTrainer(cfg, model=transeg_model(
-                    block_family=getattr(args, "block_family", "seg")))
+                trainer = TranSegTrainer(
+                    cfg, model=transeg_model(
+                        block_family=getattr(args, "block_family", "seg")),
+                    crop=(args.roi,) * 3)
             train_ds = OpenKBPDataset(args.data, size=args.size)
             val_ds = (OpenKBPDataset(args.val_data, keep_structures=True)
                       if args.val_data else None)
