@@ -219,10 +219,17 @@ def build_parser() -> argparse.ArgumentParser:
              "(core/torch_import.py) — the migration path for reference-"
              "trained weights")
     it.add_argument("--kind", choices=["c3d", "pyfer", "transeg", "unetr", "resnet10",
-                                       "hdunet", "dosegan-g", "dosegan-d"],
+                                       "hdunet", "dosegan-g", "dosegan-d",
+                                       "vitgan-g", "exp-gen"],
                     required=True,
                     help="which reference network the source holds ('unetr' "
-                         "= the seg task's mode_model=0 plain MONAI UNETR)")
+                         "= the seg task's mode_model=0 plain MONAI UNETR; "
+                         "'vitgan-g' = the ViT-GAN generator, "
+                         "train_light_gan.py:124; 'exp-gen' = the exp-models "
+                         "TestModel generator, train_light_exp_models.py:118)")
+    it.add_argument("--act", choices=["relu", "mish"], default="mish",
+                    help="exp-gen: generator activation the source was "
+                         "trained with")
     it.add_argument("--src", required=True, help="torch checkpoint path")
     it.add_argument("--dest", required=True, help="output checkpoint directory")
     it.add_argument("--model-size", choices=["full", "small"], default="full")
@@ -445,6 +452,16 @@ def main(argv=None) -> int:
             model = NLayerDiscriminator(ndf=4 if small else 64)
             s = min(args.volume_size, 64)
             shape = (1, s, s, s, 1)
+        elif args.kind in ("vitgan-g", "exp-gen"):
+            from dose_prediction_tpu.models.experiments import (
+                exp_generator,
+                vitgan_generator,
+            )
+
+            model = (vitgan_generator(small) if args.kind == "vitgan-g"
+                     else exp_generator(small, act=args.act))
+            s = args.volume_size   # ViT pos-embed grid is volume-dependent
+            shape = (1, s, s, s, 9)
         else:
             # pyfer's ViT pos-embed grid IS volume-dependent — init at the
             # true serve volume; the conv-only C3D can init small
@@ -481,6 +498,8 @@ def main(argv=None) -> int:
             imported, stats = TI.import_dosegan_g(sd, variables)
         elif args.kind == "dosegan-d":
             imported, stats = TI.import_dosegan_d(sd, variables)
+        elif args.kind in ("vitgan-g", "exp-gen"):
+            imported, stats = TI.import_vitgen(sd, variables)
         else:
             params, stats = TI.import_c3d_cascade(sd, variables["params"])
             imported = {"params": params,

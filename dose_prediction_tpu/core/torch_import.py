@@ -270,6 +270,47 @@ def pyfer_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
     return None
 
 
+_VITGEN_DUAL_PATTERNS = [
+    # DualDilatedBlock decoders (multiS_conv=False — the ViT-GAN generator
+    # config, train_light_gan.py:124-133): bare IN branches at
+    # cov_.conv_{3,5,7}.conv.{0,3} (blocks_MDUNet.py:194-215; inner
+    # InstanceNorms carry no params)
+    (re.compile(r"^decoder\.(decoder[1-4])\.conv_block\.cov_\.conv_(3|5|7)\.conv\.(0|3)$"),
+     lambda m: ("decoder", m[1], "conv_block", f"branch{m[2]}",
+                "conv0" if m[3] == "0" else "conv1")),
+]
+
+
+def vitgen_key_map(module_key: str) -> Optional[Tuple[str, ...]]:
+    """Torch dotted module key → flax path for the STANDALONE non-cascade ViT
+    generator (MainSubsetModel, dose_pyfer.py:245-329 / VitGenerator,
+    models_experiments.py:769-838 — identical module skeleton): the net_B
+    subtree of DOSE-PYFER without the net_B prefix. Accepts bare state dicts
+    and the Lightning prefixes 'model_.' (exp TestModel,
+    train_light_exp_models.py:118) and 'generator.' (the GAN module,
+    train_light_gan.py:124). Covers both decoder flavors: conv_3_1
+    (multiS_conv=True, exp) and DualDilatedBlock (multiS_conv=False, vitgan)."""
+    key = module_key
+    for pre in ("model_.", "generator."):
+        if key.startswith(pre):
+            key = key[len(pre):]
+            break
+    for pattern, build in _VITGEN_DUAL_PATTERNS + _PYFER_NETB_PATTERNS:
+        m = pattern.match(key)
+        if m:
+            return build(m)
+    return None
+
+
+def import_vitgen(sd_or_path, target_variables: Any, *,
+                  verbose: bool = True) -> Tuple[Any, Dict[str, int]]:
+    """Import a torch ViT-generator checkpoint (exp TestModel / ViT-GAN
+    generator, bare or Lightning-wrapped) into this framework's
+    models.experiments.VitGenerator variables."""
+    return _import_with_stats(sd_or_path, vitgen_key_map, target_variables,
+                              transposed=pyfer_transposed_key, verbose=verbose)
+
+
 def pyfer_transposed_key(module_key: str) -> bool:
     """Modules holding ConvTranspose3d weights in the DOSE-PYFER tree: the
     UnetrPrUpBlock init/up chain and the decoder transp convs."""

@@ -245,6 +245,12 @@ def test_parser_import_torch_flags():
     args = ap.parse_args(["import-torch", "--kind", "c3d", "--src", "s",
                           "--dest", "d", "--volume-size", "32", "--strict"])
     assert args.volume_size == 32 and args.strict
+    args = ap.parse_args(["import-torch", "--kind", "vitgan-g", "--src", "s",
+                          "--dest", "d"])
+    assert args.kind == "vitgan-g"
+    args = ap.parse_args(["import-torch", "--kind", "exp-gen", "--src", "s",
+                          "--dest", "d", "--act", "relu"])
+    assert args.kind == "exp-gen" and args.act == "relu"
 
 
 @pytest.mark.slow
