@@ -236,6 +236,10 @@ def augment_seg_bf16(ct: np.ndarray, labels_u8: np.ndarray,
         return None
     if ct.dtype != np.float32 or labels_u8.dtype != np.uint8 or ct.ndim != 3:
         return None
+    if ct.shape != labels_u8.shape:
+        # the kernel indexes labels with the CT's strides — a mismatch would
+        # read out of bounds; decline so the caller's numpy fallback handles it
+        return None
     ct = np.ascontiguousarray(ct)
     labels_u8 = np.ascontiguousarray(labels_u8)
     shift, flip_mask, rot_k = decisions

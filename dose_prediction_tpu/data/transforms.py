@@ -74,7 +74,9 @@ def _sample_crop_start(label: np.ndarray, rng: np.random.Generator,
         center = None
         for _ in range(64):   # bg is the majority class in practice
             c = _uniform_center()
-            if label[c] <= 0:
+            # np.any handles labels with a trailing channel dim (a voxel is
+            # background when no channel is positive)
+            if not np.any(label[c] > 0):
                 center = c
                 break
         if center is None:    # (near-)all-foreground volume: exact fallback
@@ -95,10 +97,9 @@ def rand_crop_pos_neg(arrays: Arrays, label: np.ndarray, rng: np.random.Generato
     label-positive voxels (provided_dataset.py:158-167). The foreground index
     set is computed at most once per call, not once per sample."""
     out = []
-    fg: Optional[np.ndarray] = None
+    # one foreground scan per call (not per sample); empty set when no fg
+    fg = np.argwhere(label > 0) if np.any(label > 0) else np.empty((0, 3), np.int64)
     for _ in range(num_samples):
-        if fg is None and np.any(label > 0):
-            fg = np.argwhere(label > 0)
         z0, y0, x0 = _sample_crop_start(label, rng, spatial_size,
                                         pos=pos, neg=neg, fg_indices=fg)
         sz, sy, sx = spatial_size
@@ -279,7 +280,12 @@ def seg_crop_starts(ct_shape: Sequence[int], labels: np.ndarray,
                     num_samples: int) -> List[Tuple[int, int, int]]:
     """The crop-start draws of augment_seg_sample, standalone: same stream,
     same clamping — the native fused path samples starts here and gathers in
-    C++ (the volume must already fit the crop; callers pad first)."""
+    C++ (the volume must already fit the crop; callers pad first).
+    ``ct_shape`` must agree with the labels' spatial dims: the native gather
+    indexes both buffers with one set of strides."""
+    if tuple(ct_shape[:3]) != tuple(labels.shape[:3]):
+        raise ValueError(f"ct shape {tuple(ct_shape)} does not match labels "
+                         f"shape {labels.shape}")
     fg = np.argwhere(labels > 0) if np.any(labels > 0) else np.empty((0, 3), np.int64)
     return [
         _sample_crop_start(labels, rng, crop, pos=2.0, neg=1.0, fg_indices=fg)

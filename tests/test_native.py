@@ -183,3 +183,34 @@ def test_seg_batches_native_bf16(tmp_path):
     assert batches[0]["ct"].dtype == ml_dtypes.bfloat16
     assert batches[0]["labels"].dtype == np.uint8
     assert batches[0]["ct"].shape[1:] == (16, 16, 16, 1)
+
+
+def test_native_seg_augment_all_rot_flip_combos():
+    """Deterministic sweep of every (rot_k, flip_mask) pair — the rng-seeded
+    parity test cannot guarantee each C++ inverse-rotation branch is hit."""
+    import ml_dtypes
+
+    from dose_prediction_tpu.data import native as N
+    from dose_prediction_tpu.data import transforms as T
+
+    if not N.native_available() or not hasattr(N.get_lib(), "dose_io_augment_seg_bf16"):
+        pytest.skip("native library unavailable")
+    g = np.random.default_rng(7)
+    ct = g.standard_normal((24, 24, 24)).astype(np.float32)
+    labels = ((g.random((24, 24, 24)) < 0.1) * 5).astype(np.uint8)
+    start, crop = (3, 5, 2), (16, 16, 16)
+    sl = tuple(slice(s, s + c) for s, c in zip(start, crop))
+    for rot_k in range(4):
+        for flip_mask in range(8):
+            shift = 0.05 * rot_k - 0.1 * (flip_mask & 1)
+            rv, rl = T.apply_seg_augment(ct[sl], labels[sl],
+                                         shift, flip_mask, rot_k)
+            out = N.augment_seg_bf16(ct, labels, start, crop,
+                                     (shift, flip_mask, rot_k))
+            assert out is not None
+            np.testing.assert_array_equal(
+                out[1], rl, err_msg=f"labels rot={rot_k} flip={flip_mask}")
+            np.testing.assert_array_equal(
+                out[0].view(ml_dtypes.bfloat16).astype(np.float32),
+                rv.astype(ml_dtypes.bfloat16).astype(np.float32),
+                err_msg=f"ct rot={rot_k} flip={flip_mask}")
