@@ -98,3 +98,62 @@ def test_vitgen_golden_forward_parity(multiS):
         np.testing.assert_allclose(
             np.asarray(jo)[0, ..., 0], to.numpy()[0, 0], rtol=1e-3, atol=1e-4,
             err_msg=f"deep-supervision scale {scale} (multiS={multiS})")
+
+
+@pytest.mark.slow
+def test_vitgen_golden_gradient_parity():
+    """One non-cascade GenLoss step (the exp/vitgan recon loss,
+    train_light_exp_models.py:163-171): d loss / d θ matches leaf-for-leaf."""
+    from dose_prediction_tpu.train import losses as L
+
+    tmodel, model, imported, _, x = _build_pair(multiS=True, seed=1)
+    rng = np.random.default_rng(1)
+    dose = np.abs(rng.standard_normal((1, SIZE, SIZE, SIZE, 1))).astype(np.float32)
+    mask = (rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.4).astype(np.float32)
+    gt = np.concatenate([dose, mask], axis=-1)
+
+    tmodel.train()
+    tx = torch.from_numpy(x.transpose(0, 4, 1, 2, 3))
+    tgt = torch.from_numpy(gt.transpose(0, 4, 1, 2, 3))
+    touts = tmodel(tx)
+    # non-cascade GenLoss = δ1·l1(full) + δ2·mean(pyramid) — TP's torch
+    # replica computes exactly that (the pred_a argument is unused)
+    tloss = TP._torch_gen_loss(None, touts, tgt)
+    tloss.backward()
+    grads_sd = {k: p.grad.numpy() for k, p in tmodel.named_parameters()
+                if p.grad is not None}
+    tgrad_tree, _ = TI.split_batch_stats(TI.state_dict_to_tree(
+        grads_sd, TI.vitgen_key_map, transposed=TI.pyfer_transposed_key))
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": imported["batch_stats"]},
+            jnp.asarray(x), train=True, mutable=["batch_stats"])
+        return L.gen_loss(preds, jnp.asarray(gt),
+                          delta1=10.0, delta2=8.0, cascade=False)
+
+    jloss, jgrads = jax.value_and_grad(loss_fn)(imported["params"])
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-4)
+
+    checked = [0]
+
+    def compare(tnode, jnode, path):
+        for k, v in tnode.items():
+            assert k in jnode, f"missing grad leaf {path + (k,)}"
+            if isinstance(v, dict):
+                compare(v, jnode[k], path + (k,))
+            else:
+                jv = np.asarray(jnode[k], np.float64)
+                tv = np.asarray(v, np.float64)
+                if max(np.linalg.norm(tv), np.linalg.norm(jv)) < 1e-4:
+                    # exactly-zero true gradient (a conv bias absorbed by the
+                    # following InstanceNorm's mean subtraction): both sides
+                    # are float noise — require both to be tiny
+                    checked[0] += 1
+                    continue
+                rel = np.linalg.norm(jv - tv) / (np.linalg.norm(tv) + 1e-12)
+                assert rel < 5e-3, f"grad mismatch at {path + (k,)}: rel={rel}"
+                checked[0] += 1
+
+    compare(tgrad_tree, jgrads, ())
+    assert checked[0] > 100  # every trainable torch leaf was compared
