@@ -64,6 +64,34 @@ def seed_cache() -> dict:
     return stats
 
 
+def _device_watchdog(timeout_s: float = 300.0) -> None:
+    """Fail FAST with a structured JSON line if the device never answers a
+    trivial op (the axon tunnel has been observed to hang for hours — a hung
+    bench run is worse than an honest error record). The probe runs in a
+    SUBPROCESS: a hung tunnel client blocks inside a C call holding the GIL,
+    so an in-process watchdog thread would never get scheduled."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))))"],
+            check=True, capture_output=True, timeout=timeout_s)
+        return
+    except subprocess.TimeoutExpired:
+        reason = f"trivial probe op did not complete in {timeout_s:.0f}s"
+    except subprocess.CalledProcessError as e:
+        reason = f"probe failed: {e.stderr.decode(errors='replace')[-300:]}"
+    print(json.dumps({
+        "metric": "cascade_128_p50_latency", "value": None,
+        "unit": "s/patient", "vs_baseline": 0.0,
+        "error": f"device unresponsive: {reason}",
+    }))
+    sys.stdout.flush()
+    os._exit(2)
+
+
 def main() -> None:
     cache_stats = seed_cache()
 
@@ -71,6 +99,8 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    _device_watchdog()
 
     import jax.numpy as jnp
 
