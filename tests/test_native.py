@@ -198,19 +198,21 @@ def test_native_seg_augment_all_rot_flip_combos():
     g = np.random.default_rng(7)
     ct = g.standard_normal((24, 24, 24)).astype(np.float32)
     labels = ((g.random((24, 24, 24)) < 0.1) * 5).astype(np.uint8)
-    start, crop = (3, 5, 2), (16, 16, 16)
-    sl = tuple(slice(s, s + c) for s, c in zip(start, crop))
-    for rot_k in range(4):
-        for flip_mask in range(8):
-            shift = 0.05 * rot_k - 0.1 * (flip_mask & 1)
-            rv, rl = T.apply_seg_augment(ct[sl], labels[sl],
-                                         shift, flip_mask, rot_k)
-            out = N.augment_seg_bf16(ct, labels, start, crop,
-                                     (shift, flip_mask, rot_k))
-            assert out is not None
-            np.testing.assert_array_equal(
-                out[1], rl, err_msg=f"labels rot={rot_k} flip={flip_mask}")
-            np.testing.assert_array_equal(
-                out[0].view(ml_dtypes.bfloat16).astype(np.float32),
-                rv.astype(ml_dtypes.bfloat16).astype(np.float32),
-                err_msg=f"ct rot={rot_k} flip={flip_mask}")
+    # cubic crop + a non-cubic crop (odd rot_k swaps the output dims)
+    for start, crop in (((3, 5, 2), (16, 16, 16)), ((1, 4, 6), (12, 8, 10))):
+        sl = tuple(slice(s, s + c) for s, c in zip(start, crop))
+        for rot_k in range(4):
+            for flip_mask in range(8):
+                shift = 0.05 * rot_k - 0.1 * (flip_mask & 1)
+                rv, rl = T.apply_seg_augment(ct[sl], labels[sl],
+                                             shift, flip_mask, rot_k)
+                out = N.augment_seg_bf16(ct, labels, start, crop,
+                                         (shift, flip_mask, rot_k))
+                assert out is not None
+                np.testing.assert_array_equal(
+                    out[1], rl,
+                    err_msg=f"labels crop={crop} rot={rot_k} flip={flip_mask}")
+                np.testing.assert_array_equal(
+                    out[0].view(ml_dtypes.bfloat16).astype(np.float32),
+                    rv.astype(ml_dtypes.bfloat16).astype(np.float32),
+                    err_msg=f"ct crop={crop} rot={rot_k} flip={flip_mask}")
