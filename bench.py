@@ -64,29 +64,46 @@ def seed_cache() -> dict:
     return stats
 
 
-def _device_watchdog(timeout_s: float = 300.0) -> None:
+def _device_watchdog(timeout_s: float = 900.0) -> None:
     """Fail FAST with a structured JSON line if the device never answers a
     trivial op (the axon tunnel has been observed to hang for hours — a hung
     bench run is worse than an honest error record). The probe runs in a
     SUBPROCESS: a hung tunnel client blocks inside a C call holding the GIL,
-    so an in-process watchdog thread would never get scheduled."""
+    so an in-process watchdog thread would never get scheduled.
+
+    The timeout is generous (15 min): first tunnel contact in a fresh
+    process has been observed to take minutes when the backend is cold, and
+    a false 'unresponsive' record is worse than a slow start. Probe-process
+    FAILURES (as opposed to hangs) are retried once — first-connection
+    libtpu init errors are transient — and labeled distinctly so a backend
+    init bug is not misread as a hung tunnel."""
     import subprocess
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
+    probe = [sys.executable, "-c",
              "import jax.numpy as jnp; "
-             "print(float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))))"],
-            check=True, capture_output=True, timeout=timeout_s)
-        return
-    except subprocess.TimeoutExpired:
-        reason = f"trivial probe op did not complete in {timeout_s:.0f}s"
-    except subprocess.CalledProcessError as e:
-        reason = f"probe failed: {e.stderr.decode(errors='replace')[-300:]}"
+             "print(float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))))"]
+    deadline = time.monotonic() + timeout_s
+    reason = None
+    for attempt in range(2):
+        budget = deadline - time.monotonic()
+        if budget <= 0:
+            break
+        try:
+            subprocess.run(probe, check=True, capture_output=True,
+                           timeout=budget)
+            return
+        except subprocess.TimeoutExpired:
+            reason = (f"device unresponsive: trivial probe op did not "
+                      f"complete in {timeout_s:.0f}s")
+            break  # a hang consumed the whole budget; no point retrying
+        except subprocess.CalledProcessError as e:
+            reason = ("device probe subprocess failed (not a hang): "
+                      + e.stderr.decode(errors="replace")[-300:])
+            time.sleep(5.0)  # transient libtpu init errors: retry once
     print(json.dumps({
         "metric": "cascade_128_p50_latency", "value": None,
         "unit": "s/patient", "vs_baseline": 0.0,
-        "error": f"device unresponsive: {reason}",
+        "error": reason or f"device probe exceeded {timeout_s:.0f}s budget",
     }))
     sys.stdout.flush()
     os._exit(2)

@@ -220,6 +220,21 @@ int load_volume_f32(const char* path, float* dst, int64_t capacity,
   return 0;
 }
 
+// f32 → bf16, round to nearest even. NaN is handled before the rounding
+// add: letting the mantissa increment carry into an all-ones exponent would
+// turn NaN into ±inf (or, for a full-payload NaN, wrap into -0.0).
+// ml_dtypes/numpy astype(bfloat16) canonicalizes NaN to sign|0x7fc0; match
+// it bit-for-bit so the parity tests can assert exact equality.
+inline uint16_t to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  if ((x & 0x7fffffffu) > 0x7f800000u)
+    return static_cast<uint16_t>(((x >> 16) & 0x8000u) | 0x7fc0u);
+  uint32_t lsb = (x >> 16) & 1u;
+  x += 0x7fffu + lsb;
+  return static_cast<uint16_t>(x >> 16);
+}
+
 }  // namespace
 
 extern "C" {
@@ -321,14 +336,6 @@ int dose_io_augment_dose_bf16(const float* inp, const float* gt,
   const int64_t od = (rot_k % 2) ? h : d;
   const int64_t oh = (rot_k % 2) ? d : h;
 
-  auto to_bf16 = [](float f) -> uint16_t {
-    uint32_t x;
-    std::memcpy(&x, &f, 4);
-    uint32_t lsb = (x >> 16) & 1u;
-    x += 0x7fffu + lsb;  // round to nearest even
-    return static_cast<uint16_t>(x >> 16);
-  };
-
   auto process_rows = [&](int64_t row0, int64_t row1) {
     for (int64_t i = row0; i < row1; ++i) {
       for (int64_t j = 0; j < oh; ++j) {
@@ -393,14 +400,6 @@ int dose_io_augment_seg_bf16(const float* ct, const uint8_t* labels,
   rot_k = ((rot_k % 4) + 4) % 4;
   const int64_t od = (rot_k % 2) ? ch : cd;
   const int64_t oh = (rot_k % 2) ? cd : ch;
-
-  auto to_bf16 = [](float f) -> uint16_t {
-    uint32_t x;
-    std::memcpy(&x, &f, 4);
-    uint32_t lsb = (x >> 16) & 1u;
-    x += 0x7fffu + lsb;  // round to nearest even
-    return static_cast<uint16_t>(x >> 16);
-  };
 
   auto process_rows = [&](int64_t row0, int64_t row1) {
     for (int64_t i = row0; i < row1; ++i) {

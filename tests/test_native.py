@@ -107,6 +107,43 @@ def test_native_augment_matches_numpy_chain():
         np.testing.assert_array_equal(out[1], ref_gt.astype(ml_dtypes.bfloat16).view(np.uint16))
 
 
+def test_native_bf16_cast_special_values():
+    """The native f32→bf16 cast matches ml_dtypes bit-for-bit on specials:
+    NaN (canonicalized to sign|0x7fc0 — a naive RNE add would carry a NaN's
+    mantissa into the exponent and yield ±inf or -0.0), ±inf, values that
+    round up to inf vs. stay at bf16 max, subnormals, and ±0."""
+    import ml_dtypes
+
+    from dose_prediction_tpu.data import native as N
+
+    if not N.native_available():
+        pytest.skip("native library unavailable")
+    specials = np.array(
+        [np.nan, -np.nan,
+         np.uint32(0x7fffffff).view(np.float32),   # full-payload NaN
+         np.uint32(0xffffffff).view(np.float32),
+         np.uint32(0x7f800001).view(np.float32),   # signaling NaN
+         np.inf, -np.inf,
+         3.3895314e38, -3.3895314e38,               # rounds to bf16 max
+         3.3961776e38,                              # rounds up to inf
+         1e-40, -1e-40, 0.0, -0.0, 1.0000152],
+        dtype=np.float32)
+    inp = np.zeros((2, 2, 4, 4), dtype=np.float32)
+    inp.reshape(-1)[: specials.size] = specials
+    gt = inp[..., :2].copy()
+    rng1, rng2 = np.random.default_rng(7), np.random.default_rng(7)
+
+    from dose_prediction_tpu.data import transforms as T
+
+    ref_inp, ref_gt = T.augment_dose_sample(inp, gt, rng1)
+    out = N.augment_dose_bf16(inp, gt, rng2, n_threads=1)
+    assert out is not None
+    np.testing.assert_array_equal(
+        out[0], ref_inp.astype(ml_dtypes.bfloat16).view(np.uint16))
+    np.testing.assert_array_equal(
+        out[1], ref_gt.astype(ml_dtypes.bfloat16).view(np.uint16))
+
+
 def test_dose_batches_native_bf16(tmp_path):
     """pipeline.dose_batches(native_bf16=True) yields bf16 batches equal to
     the numpy chain (same seed) cast to bf16."""
