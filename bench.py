@@ -44,6 +44,10 @@ REPO = Path(__file__).resolve().parent
 # artifact entries are available).
 CACHE_DIR = Path(os.environ.get("DPT_CACHE_DIR", REPO / ".jax_cache"))
 SEED_DIR = REPO / "artifacts" / "serve_cache"
+# Last successful bench result, written on every good run. Included
+# (clearly labeled) in the error record when the device is unreachable so a
+# dead tunnel at bench time doesn't erase the round's measured numbers.
+LAST_GOOD = REPO / "artifacts" / "last_bench.json"
 
 
 def seed_cache() -> dict:
@@ -100,11 +104,16 @@ def _device_watchdog(timeout_s: float = 900.0) -> None:
             reason = ("device probe subprocess failed (not a hang): "
                       + e.stderr.decode(errors="replace")[-300:])
             time.sleep(5.0)  # transient libtpu init errors: retry once
-    print(json.dumps({
+    record = {
         "metric": "cascade_128_p50_latency", "value": None,
         "unit": "s/patient", "vs_baseline": 0.0,
         "error": reason or f"device probe exceeded {timeout_s:.0f}s budget",
-    }))
+    }
+    try:
+        record["last_good_run"] = json.loads(LAST_GOOD.read_text())
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(record))
     sys.stdout.flush()
     os._exit(2)
 
@@ -230,6 +239,12 @@ def main() -> None:
         "cache": cache_stats,
         "device": jax.devices()[0].device_kind,
     }
+    try:
+        LAST_GOOD.parent.mkdir(parents=True, exist_ok=True)
+        LAST_GOOD.write_text(json.dumps(
+            {**result, "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S")}))
+    except OSError:
+        pass
     print(json.dumps(result))
 
 
