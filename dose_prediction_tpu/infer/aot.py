@@ -71,12 +71,26 @@ def load_aot(name: str):
         return None
 
 
+def _force(out) -> None:
+    """Synchronize on a program output. On the axon remote backend dispatch
+    succeeds asynchronously and block_until_ready is a no-op, so a remote
+    EXECUTION failure only surfaces at a host read — without this, a broken
+    artifact would be accepted here and crash the caller at its first sync
+    instead of falling back to jit."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def get_program(name: str, build_fn, example_args):
     """AOT-first program fetch with a guarded first call.
 
     Tries the shipped executable and validates it by actually calling it on
-    ``example_args`` (catches signature drift the deserializer can't see);
-    on any failure compiles via ``build_fn()``. Returns
+    ``example_args`` AND reading back a scalar (catches signature drift the
+    deserializer can't see, and remote-execution failures that async dispatch
+    hides); on any failure compiles via ``build_fn()``. Returns
     ``(program, seconds, used_aot)`` where seconds is the wall time of
     whichever path ran.
     """
@@ -85,7 +99,7 @@ def get_program(name: str, build_fn, example_args):
     used = c is not None
     if c is not None:
         try:
-            c(*example_args)
+            _force(c(*example_args))
         except Exception as e:
             print(f"[aot] {name} rejected at call time: {e}", file=sys.stderr)
             used = False
@@ -113,6 +127,8 @@ class LazyAOTStage:
         if self._aot is not None:
             try:
                 out = self._aot(*args)
+                if self.used_aot is None:
+                    _force(out)  # first call: surface async remote failures
                 self.used_aot = True
                 return out
             except Exception as e:
