@@ -65,6 +65,11 @@ def _add_common(p: argparse.ArgumentParser):
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="dose_prediction_tpu",
                                  description="TPU-native dose prediction framework")
+    ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                    help="force the jax backend before first device use. "
+                         "'cpu' works even where a site hook overrides the "
+                         "JAX_PLATFORMS env var (e.g. to debug on a host "
+                         "whose TPU is unreachable); 'auto' = jax default")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     tr = sub.add_parser("train", help="train a model")
@@ -269,6 +274,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform != "auto":
+        # must happen before ANY jax device use; the env var alone is not
+        # enough because a site hook can override it after process start
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.cmd == "bench":
         import runpy

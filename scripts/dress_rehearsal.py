@@ -55,7 +55,14 @@ def main() -> int:
                     default="float32",
                     help="training feed: 'packed' ships bit-packed masks and "
                          "augments on device (6x less H2D — data/packed.py)")
+    ap.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                    help="force the jax backend ('cpu' beats a site hook "
+                         "that overrides JAX_PLATFORMS — lets the rehearsal "
+                         "run on hosts whose TPU is unreachable)")
     args = ap.parse_args()
+
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
 
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
     from dose_prediction_tpu.models import DosePyfer, TranSeg

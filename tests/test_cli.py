@@ -325,6 +325,18 @@ def test_parser_round4b_flags():
     assert args.act == "relu"
 
 
+def test_parser_platform_flag():
+    """--platform is a global (pre-subcommand) flag, default 'auto'; 'cpu'
+    must be accepted on any subcommand (the escape hatch for hosts whose
+    site hook overrides JAX_PLATFORMS while the TPU is unreachable)."""
+    ap = build_parser()
+    args = ap.parse_args(["--platform", "cpu", "eval", "--data", "x",
+                          "--ckpt", "c"])
+    assert args.platform == "cpu"
+    args = ap.parse_args(["train", "pyfer", "--data", "x"])
+    assert args.platform == "auto"
+
+
 @pytest.mark.slow
 def test_cli_vitgan_train_eval_roundtrip(tmp_path):
     """train vitgan → eval --model vitgan must rebuild the IDENTICAL generator
