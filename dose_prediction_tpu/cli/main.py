@@ -261,6 +261,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parallel trials (one per device sub-slice)")
     tu.add_argument("--grace-period", type=int, default=1,
                     help="ASHA grace period in validation rounds")
+    tu.add_argument("--resume", action="store_true",
+                    help="continue an interrupted search from "
+                         "<log-dir>/trials.jsonl (completed trials seed the "
+                         "sampler and the ASHA rungs; only the remaining "
+                         "trials run)")
 
     kf = sub.add_parser("kfold", help="k-fold cross validation")
     _add_common(kf)
@@ -815,7 +820,8 @@ def main(argv=None) -> int:
                                   grace_period=args.grace_period, mode="min")
         res = run_search(train_trial, num_samples=args.num_samples,
                          scheduler=scheduler, sampler=args.sampler,
-                         max_concurrent=args.max_concurrent, out_dir=args.log_dir)
+                         max_concurrent=args.max_concurrent,
+                         out_dir=args.log_dir, resume=args.resume)
         print(json.dumps({"best_config": res["best_config"],
                           "best_value": res["best_value"],
                           "num_early_stopped": res["num_early_stopped"]},

@@ -242,6 +242,9 @@ class Trial:
     stopped: bool = False      # rung-based ASHA halt (a true early stop)
     completed: bool = False    # ran to the full max_t budget
     history: List[float] = dataclasses.field(default_factory=list)
+    # (epoch, value) per report — lets a resumed search replay ASHA rung
+    # state exactly (history alone loses the epoch numbers)
+    report_log: List[List[float]] = dataclasses.field(default_factory=list)
 
 
 class ASHAScheduler:
@@ -269,6 +272,7 @@ class ASHAScheduler:
         """Record a result; returns True if the trial should STOP."""
         trial.last_value = value
         trial.history.append(value)
+        trial.report_log.append([int(epoch), float(value)])
         if epoch >= self.max_t:
             # normal completion: NOT an early stop (num_early_stopped must
             # count rung halts only — ADVICE r2)
@@ -447,6 +451,7 @@ def run_search(
     out_dir: Optional[str] = None,
     sampler: str = "random",          # 'random' | 'tpe' | 'gp'
     max_concurrent: int = 1,
+    resume: bool = False,
 ) -> Dict[str, Any]:
     """Run the search.
 
@@ -460,6 +465,13 @@ def run_search(
     threads, each pinned round-robin to a jax device — one trial per device
     sub-slice, the RayStrategy(num_workers) analogue (tune_light_pyfer.py:36).
 
+    With ``out_dir`` each finished trial is appended to ``trials.jsonl`` as it
+    completes; ``resume=True`` replays that journal — completed trials seed
+    the sampler history and (for ASHA) the rung state exactly via their
+    report logs — and only the remaining ``num_samples - done`` trials run
+    (Ray Tune's resumable-experiment analogue; a crash mid-search loses at
+    most the in-flight trials).
+
     Returns {'best_config', 'best_value', 'trials'}.
     """
     space = space if space is not None else PYFER_SEARCH_SPACE
@@ -471,6 +483,37 @@ def run_search(
     lock = threading.Lock()                 # ASHA rungs + history are shared
     history: List[Tuple[Dict[str, Any], float]] = []
     trials: List[Trial] = []
+
+    journal = Path(out_dir) / "trials.jsonl" if out_dir else None
+    if journal is not None and not resume and journal.exists():
+        journal.unlink()       # fresh search: don't mix with a previous run
+    if resume and journal is not None and journal.exists():
+        for line in journal.read_text().splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            t = Trial(trial_id=rec["trial_id"], config=rec["config"])
+            if isinstance(scheduler, ASHAScheduler):
+                for epoch, value in rec.get("report_log", []):
+                    scheduler.on_result(t, epoch, value)   # rebuilds rungs
+            t.last_value = rec["last_value"]
+            t.stopped = rec["stopped"]
+            t.completed = rec["completed"]
+            t.history = list(rec.get("history", []))
+            t.report_log = [list(p) for p in rec.get("report_log", [])]
+            trials.append(t)
+            history.append((t.config, t.last_value))
+        # keep the 'random' stream aligned with the interrupted run: the
+        # replayed trials consumed this many draws before the crash
+        for _ in trials:
+            sample_config(space, rng)
+
+    def journal_append(trial: Trial) -> None:
+        if journal is None:
+            return
+        journal.parent.mkdir(parents=True, exist_ok=True)
+        with open(journal, "a") as f:
+            f.write(json.dumps(dataclasses.asdict(trial), default=str) + "\n")
 
     def next_config() -> Dict[str, Any]:
         with lock:
@@ -499,20 +542,22 @@ def run_search(
         with lock:
             history.append((trial.config, trial.last_value))
             trials.append(trial)
+            journal_append(trial)
         return trial
 
+    first_id = len(trials)                   # 0, or #replayed when resuming
     if max_concurrent > 1:
         import jax
         devices = jax.devices()
         with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
             futures = [
                 ex.submit(run_one, i, devices[i % len(devices)])
-                for i in range(num_samples)
+                for i in range(first_id, num_samples)
             ]
             for f in futures:
                 f.result()
     else:
-        for i in range(num_samples):
+        for i in range(first_id, num_samples):
             run_one(i)
 
     valid = [t for t in trials if not math.isnan(t.last_value)]

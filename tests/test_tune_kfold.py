@@ -287,3 +287,68 @@ def test_concurrent_trials_pin_distinct_devices():
     assert len(res["trials"]) == 8
     # 8 trials round-robined over 8 virtual devices through a 4-thread pool
     assert len(set(trial_devices)) >= 4
+
+
+def test_search_journal_and_resume(tmp_path):
+    """trials.jsonl is appended per completed trial; resume=True replays it:
+    completed trials are NOT re-run, their ids/configs survive, and the
+    final result aggregates old + new (the Ray Tune resumable-experiment
+    analogue — a crash mid-search loses at most the in-flight trial)."""
+    calls = []
+
+    def train_trial(config, report):
+        calls.append(config["lr"])
+        report(1, config["lr"])
+        return config["lr"]
+
+    space = {"lr": LogUniform(1e-4, 1e-1)}
+    out = tmp_path / "search"
+    res1 = run_search(train_trial, space=space, num_samples=3, seed=5,
+                      out_dir=str(out),
+                      scheduler=ASHAScheduler(max_t=1, mode="min"))
+    assert len((out / "trials.jsonl").read_text().splitlines()) == 3
+    first_configs = [t["config"]["lr"] for t in res1["trials"]]
+
+    calls.clear()
+    res2 = run_search(train_trial, space=space, num_samples=7, seed=5,
+                      out_dir=str(out), resume=True,
+                      scheduler=ASHAScheduler(max_t=1, mode="min"))
+    assert len(calls) == 4                   # only the remaining trials ran
+    assert [t["trial_id"] for t in res2["trials"]] == list(range(7))
+    assert [t["config"]["lr"] for t in res2["trials"][:3]] == first_configs
+    assert len((out / "trials.jsonl").read_text().splitlines()) == 7
+    assert res2["best_value"] == min(t["last_value"] for t in res2["trials"])
+    # a FRESH (resume=False) search truncates the stale journal
+    run_search(train_trial, space=space, num_samples=2, seed=9,
+               out_dir=str(out),
+               scheduler=ASHAScheduler(max_t=1, mode="min"))
+    assert len((out / "trials.jsonl").read_text().splitlines()) == 2
+
+
+def test_search_resume_replays_asha_rungs(tmp_path):
+    """Rung state rebuilt from the journaled report logs: a post-resume trial
+    must be early-stopped against the PRE-crash rung population (without
+    replay its rung would contain only itself and it would never stop)."""
+    def make_trial_fn(values):
+        it = iter(values)
+
+        def train_trial(config, report):
+            v = next(it)
+            report(1, v)                     # epoch 1 = first ASHA milestone
+            return v
+
+        return train_trial
+
+    out = tmp_path / "search"
+    space = {"lr": LogUniform(1e-4, 1e-1)}
+    run_search(make_trial_fn([1.0, 2.0]), space=space, num_samples=2, seed=0,
+               out_dir=str(out),
+               scheduler=ASHAScheduler(max_t=10, grace_period=1, mode="min"))
+    res = run_search(make_trial_fn([1.5]), space=space, num_samples=3, seed=0,
+                     out_dir=str(out), resume=True,
+                     scheduler=ASHAScheduler(max_t=10, grace_period=1,
+                                             mode="min"))
+    t2 = res["trials"][2]
+    # rung@1 after replay = [1.0, 2.0]; cutoff (rf=2, min) = 1.0 → 1.5 stops
+    assert t2["stopped"] is True
+    assert res["num_early_stopped"] == 2     # replayed 2.0 + new 1.5
