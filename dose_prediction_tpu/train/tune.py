@@ -545,19 +545,23 @@ def run_search(
             journal_append(trial)
         return trial
 
-    first_id = len(trials)                   # 0, or #replayed when resuming
+    # a concurrent crash can journal non-contiguous ids (an in-flight trial
+    # never completed): run `num_samples - done` MORE trials with fresh ids
+    # rather than re-using any journaled id
+    next_id = max((t.trial_id for t in trials), default=-1) + 1
+    todo = range(next_id, next_id + max(0, num_samples - len(trials)))
     if max_concurrent > 1:
         import jax
         devices = jax.devices()
         with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
             futures = [
                 ex.submit(run_one, i, devices[i % len(devices)])
-                for i in range(first_id, num_samples)
+                for i in todo
             ]
             for f in futures:
                 f.result()
     else:
-        for i in range(first_id, num_samples):
+        for i in todo:
             run_one(i)
 
     valid = [t for t in trials if not math.isnan(t.last_value)]

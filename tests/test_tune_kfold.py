@@ -352,3 +352,34 @@ def test_search_resume_replays_asha_rungs(tmp_path):
     # rung@1 after replay = [1.0, 2.0]; cutoff (rf=2, min) = 1.0 → 1.5 stops
     assert t2["stopped"] is True
     assert res["num_early_stopped"] == 2     # replayed 2.0 + new 1.5
+
+
+def test_search_resume_skips_gapped_ids(tmp_path):
+    """A concurrent crash can journal non-contiguous ids (the in-flight trial
+    never completed). Resume must not re-use a journaled id: it runs
+    num_samples - done MORE trials with fresh ids."""
+    import json as _json
+
+    out = tmp_path / "search"
+    out.mkdir()
+    rows = [dict(trial_id=i, config={"lr": 0.01 * (i + 1)}, rung=0,
+                 last_value=float(i + 1), stopped=False, completed=True,
+                 history=[float(i + 1)], report_log=[[1, float(i + 1)]])
+            for i in (0, 2)]                 # id 1 was in flight at the crash
+    (out / "trials.jsonl").write_text(
+        "".join(_json.dumps(r) + "\n" for r in rows))
+
+    ran = []
+
+    def train_trial(config, report):
+        ran.append(config["lr"])
+        report(1, 5.0)
+        return 5.0
+
+    res = run_search(train_trial, space={"lr": LogUniform(1e-4, 1e-1)},
+                     num_samples=4, seed=0, out_dir=str(out), resume=True,
+                     scheduler=ASHAScheduler(max_t=1, mode="min"))
+    assert len(ran) == 2                     # 4 wanted − 2 journaled
+    ids = sorted(t["trial_id"] for t in res["trials"])
+    assert ids == [0, 2, 3, 4] and len(res["trials"]) == 4
+    assert res["best_value"] == 1.0          # replayed id 0 still wins
