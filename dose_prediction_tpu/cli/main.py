@@ -46,6 +46,10 @@ def _add_common(p: argparse.ArgumentParser):
                    help="bfloat16 = native fused augmentation + half H2D "
                         "payload; packed = bit-packed masks + on-device "
                         "augmentation, 6x less H2D (data/packed.py)")
+    p.add_argument("--save-per-epoch", type=int, default=None,
+                   help="every N epochs also write a never-rotated "
+                        "'iter_<step>' archival checkpoint (NetworkTrainer "
+                        "save_per_epoch, network_trainer.py:304-307)")
     p.add_argument("--samples-per-epoch", type=int, default=None,
                    help="fix the epoch at N samples, cycling through the "
                         "shuffled cohort with wraparound (the legacy "
@@ -323,6 +327,7 @@ def main(argv=None) -> int:
             mesh_shape=parse_mesh(getattr(args, "mesh", None)),
             feed_dtype=getattr(args, "feed_dtype", "float32"),
             samples_per_epoch=getattr(args, "samples_per_epoch", None),
+            save_per_epoch=getattr(args, "save_per_epoch", None),
             grad_accum=getattr(args, "grad_accum", 1),
             remat_blocks=getattr(args, "remat_blocks", False),
             profile_dir=getattr(args, "profile_dir", None),

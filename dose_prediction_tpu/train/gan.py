@@ -25,7 +25,7 @@ from dose_prediction_tpu.models.experiments import VitGenerator, resnet10
 from dose_prediction_tpu.train import losses as L
 from dose_prediction_tpu.train import state as S
 from dose_prediction_tpu.train.state import TrainState, update_moving_loss
-from dose_prediction_tpu.train.trainers import _drains_checkpoints
+from dose_prediction_tpu.train.trainers import _drains_checkpoints, _save_epoch_slots
 from dose_prediction_tpu.utils.logging import MetricLogger
 
 
@@ -283,7 +283,8 @@ class VitGANTrainer:
                 self.ckpt.save(epoch,
                                {"g": self.g_state, "d": self.d_state, "epoch": epoch},
                                {"mean_dose_score": metrics["mean_dose_score"]})
-            self.ckpt.save_last({"g": self.g_state, "d": self.d_state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"g": self.g_state, "d": self.d_state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 return
 

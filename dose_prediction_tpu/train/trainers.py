@@ -69,6 +69,11 @@ class TrainConfig:
     # (6 B/voxel vs 36) and unpacks + augments ON DEVICE inside the jit step
     # (data/packed.py) — the strongest answer to a slow host↔device link.
     feed_dtype: str = "float32"      # 'float32' | 'bfloat16' | 'packed'
+    # archival snapshot cadence: every N epochs write a never-rotated
+    # 'iter_<global_step>' checkpoint slot alongside best/last
+    # (NetworkTrainer save_per_epoch → 'iter_' slots,
+    # network_trainer.py:304-307). None = no archival snapshots.
+    save_per_epoch: Optional[int] = None
     # legacy-loader epoch sizing: an epoch of exactly N samples, cycling
     # through the (shuffled) cohort with wraparound when N exceeds it
     # (MyDataset.__getitem__, dataloader_OpenKBP_C3D.py:117-143). None =
@@ -277,6 +282,16 @@ def _drains_checkpoints(fit_fn):
     return wrapper
 
 
+def _save_epoch_slots(ckpt, cfg: TrainConfig, epoch: int, global_step: int,
+                      tree: Dict[str, Any]) -> None:
+    """Epoch-end checkpoint slots: the rotating 'last' crash-resume slot
+    every epoch, plus a never-rotated 'iter_<global_step>' archival snapshot
+    every cfg.save_per_epoch epochs (network_trainer.py:304-307)."""
+    if cfg.save_per_epoch and (epoch + 1) % cfg.save_per_epoch == 0:
+        ckpt.save_snapshot(global_step, tree)
+    ckpt.save_last(tree)
+
+
 def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any]):
     """Shared resume policy (every trainer's ckpt_path='last.ckpt' analogue,
     e.g. train_light_hdunet.py:296, train_light_dosegan.py:349): prefer the
@@ -409,7 +424,8 @@ class PyferTrainer:
                     self.logger.log_text(f"early-stopped at epoch {epoch + 1}")
                     return
             # crash-resume granularity: every epoch, not just val epochs
-            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"state": self.state, "epoch": epoch})
             self.logger.log_text(f"epoch {epoch + 1}: {timer.report()}")
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
@@ -632,7 +648,8 @@ class CascadeC3DTrainer:
                     self.state = self.state.replace(
                         opt_state=S.set_learning_rate(self.state.opt_state, new_lr))
                     self.logger.log({"lr": new_lr}, epoch + 1)
-            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"state": self.state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
@@ -724,7 +741,8 @@ class HDUNetTrainer:
                 self.logger.log(metrics, epoch + 1)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"mean_dose_score": metrics["mean_dose_score"]})
-            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"state": self.state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 return
 
@@ -862,7 +880,8 @@ class TranSegTrainer:
                 # best-ckpt selection on the TRUE validation loss (:307-314)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"val_loss": val_loss})
-            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"state": self.state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 break
 
@@ -961,7 +980,8 @@ class ExpModelTrainer:
                 self.logger.log(metrics, epoch + 1)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"mean_dose_score": metrics["mean_dose_score"]})
-            self.ckpt.save_last({"state": self.state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"state": self.state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 return
 
@@ -1083,7 +1103,8 @@ class DoseGANTrainer:
                 self.ckpt.save(epoch,
                                {"g": self.g_state, "d": self.d_state, "epoch": epoch},
                                {"mean_dose_score": metrics["mean_dose_score"]})
-            self.ckpt.save_last({"g": self.g_state, "d": self.d_state, "epoch": epoch})
+            _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
+                              {"g": self.g_state, "d": self.d_state, "epoch": epoch})
             if cfg.max_steps is not None and global_step >= cfg.max_steps:
                 return
 

@@ -268,3 +268,24 @@ def test_transeg_resume_survives_corrupt_last_slot(tmp_path, synthetic_ds):
     tr2 = TranSegTrainer(cfg2, model=SMALL_SEG, crop=(16, 16, 16))
     tr2.fit(synthetic_ds, None, num_samples=2)   # resume defaults True
     assert int(tr2.state.step) > steps_first
+
+
+@pytest.mark.slow
+def test_save_per_epoch_archival_snapshots(tmp_path, synthetic_ds):
+    """save_per_epoch=1 writes a never-rotated 'iter_<global_step>' slot each
+    epoch alongside best/last (NetworkTrainer save_per_epoch -> 'iter_' slots,
+    network_trainer.py:304-307); the snapshot restores to a usable state."""
+    cfg = TrainConfig(max_epochs=2, check_val=50, save_per_epoch=1,
+                      ckpt_dir=str(tmp_path / "ckpt"),
+                      log_dir=str(tmp_path / "logs"))
+    tr = PyferTrainer(cfg, model=SMALL_PYFER,
+                      example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, val_ds=None, resume=False)
+    snaps = tr.ckpt.snapshots()
+    assert len(snaps) == 2 and snaps == sorted(snaps)
+    restored = tr.ckpt.restore_snapshot(
+        snaps[0], {"state": tr.state, "epoch": 0})
+    assert restored is not None
+    assert int(restored["state"].step) == snaps[0]
+    # snapshots never rotate: the 'last' slot is separate and still present
+    assert tr.ckpt.restore_last({"state": tr.state, "epoch": 0}) is not None
