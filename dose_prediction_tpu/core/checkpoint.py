@@ -139,17 +139,25 @@ class CheckpointManager:
         pool per checkpoint dir across an HPO sweep), so an abandoned
         in-flight write is only guaranteed durable by orbax's atomic rename,
         not synchronized with."""
+        self.save_named("last", tree)
+
+    def save_named(self, name: str, tree: Any) -> None:
+        """Overwrite the named rotating slot ``<dir>/<name>/`` (same async
+        depth-1 contract as save_last; named slots share one checkpointer so
+        at most one named write is in flight per manager). Used for 'last'
+        and the legacy NetworkTrainer 'best_train_loss' slot
+        (network_trainer.py:173-175)."""
         if self._last_ckptr is None:
             self._last_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
         self._last_ckptr.wait_until_finished()   # at most one in flight
-        self._last_ckptr.save(self._dir / "last", args=ocp.args.PyTreeSave(tree),
+        self._last_ckptr.save(self._dir / name, args=ocp.args.PyTreeSave(tree),
                               force=True)
         # same-process readers (even via a different manager instance) must be
         # able to synchronize with this write
-        _LAST_INFLIGHT[str(self._dir / "last")] = weakref.ref(self._last_ckptr)
+        _LAST_INFLIGHT[str(self._dir / name)] = weakref.ref(self._last_ckptr)
 
-    def restore_last(self, target: Optional[Any] = None) -> Any:
-        path = self._dir / "last"
+    def restore_named(self, name: str, target: Optional[Any] = None) -> Any:
+        path = self._dir / name
         inflight_ref = _LAST_INFLIGHT.get(str(path))
         inflight = inflight_ref() if inflight_ref is not None else None
         if inflight is not None:
@@ -157,6 +165,9 @@ class CheckpointManager:
         if not path.exists():
             return None
         return restore_checkpoint(path, target)
+
+    def restore_last(self, target: Optional[Any] = None) -> Any:
+        return self.restore_named("last", target)
 
     # -- archival snapshots (NetworkTrainer 'iter_<iter>' slots saved every
     #    save_per_epoch epochs, network_trainer.py:304-307) -----------------

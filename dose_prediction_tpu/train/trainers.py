@@ -613,6 +613,7 @@ class CascadeC3DTrainer:
                 self.state = restored["state"]
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
         global_step = int(self.state.step)
+        best_train_loss = float("inf")
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
             for batch in _traced_epoch(device_prefetch(
@@ -625,7 +626,14 @@ class CascadeC3DTrainer:
                 global_step += 1
                 if cfg.max_steps is not None and global_step >= cfg.max_steps:
                     break
-            self.logger.log({"train_mean_loss": _host_mean(losses)}, epoch + 1)
+            mean_loss = _host_mean(losses)
+            self.logger.log({"train_mean_loss": mean_loss}, epoch + 1)
+            # legacy NetworkTrainer 'best_train_loss' slot: saved whenever the
+            # epoch-average train loss improves (network_trainer.py:171-175)
+            if mean_loss < best_train_loss:
+                best_train_loss = mean_loss
+                self.ckpt.save_named("best_train_loss",
+                                     {"state": self.state, "epoch": epoch})
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
                 scores = []
                 for batch in dose_batches(val_ds, batch_size=1, shuffle=False, augment=False):

@@ -289,3 +289,20 @@ def test_save_per_epoch_archival_snapshots(tmp_path, synthetic_ds):
     assert int(restored["state"].step) == snaps[0]
     # snapshots never rotate: the 'last' slot is separate and still present
     assert tr.ckpt.restore_last({"state": tr.state, "epoch": 0}) is not None
+
+
+@pytest.mark.slow
+def test_c3d_best_train_loss_slot(tmp_path, synthetic_ds):
+    """The legacy NetworkTrainer saves a 'best_train_loss' model whenever the
+    epoch-average train loss improves (network_trainer.py:171-175); the C3D
+    trainer (its analogue) must write that named slot and it must restore."""
+    cfg = TrainConfig(max_epochs=2, check_val=50, learning_rate=1e-3,
+                      ckpt_dir=str(tmp_path / "ckpt"),
+                      log_dir=str(tmp_path / "logs"))
+    tr = CascadeC3DTrainer(cfg, model=SMALL_C3D,
+                           example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr.fit(synthetic_ds, val_ds=None)
+    restored = tr.ckpt.restore_named("best_train_loss",
+                                     {"state": tr.state, "epoch": 0})
+    assert restored is not None
+    assert 0 <= int(restored["epoch"]) < 2
