@@ -68,7 +68,8 @@ def seed_cache() -> dict:
     return stats
 
 
-def _device_watchdog(timeout_s: float = 900.0) -> None:
+def _device_watchdog(timeout_s: float = 900.0,
+                     platform: str | None = None) -> None:
     """Fail FAST with a structured JSON line if the device never answers a
     trivial op (the axon tunnel has been observed to hang for hours — a hung
     bench run is worse than an honest error record). The probe runs in a
@@ -83,8 +84,12 @@ def _device_watchdog(timeout_s: float = 900.0) -> None:
     init bug is not misread as a hung tunnel."""
     import subprocess
 
+    # honor a config-level backend force (CLI --platform): env alone can't
+    # reach the subprocess past the site hook, so re-apply it in-code
+    force = (f"import jax; jax.config.update('jax_platforms', '{platform}'); "
+             if platform else "")
     probe = [sys.executable, "-c",
-             "import jax.numpy as jnp; "
+             force + "import jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8)))))"]
     deadline = time.monotonic() + timeout_s
     reason = None
@@ -98,12 +103,13 @@ def _device_watchdog(timeout_s: float = 900.0) -> None:
             return
         except subprocess.TimeoutExpired:
             reason = (f"device unresponsive: trivial probe op did not "
-                      f"complete in {timeout_s:.0f}s")
+                      f"complete in {budget:.0f}s")
             break  # a hang consumed the whole budget; no point retrying
         except subprocess.CalledProcessError as e:
             reason = ("device probe subprocess failed (not a hang): "
                       + e.stderr.decode(errors="replace")[-300:])
-            time.sleep(5.0)  # transient libtpu init errors: retry once
+            if attempt == 0:
+                time.sleep(5.0)  # transient libtpu init errors: retry once
     record = {
         "metric": "cascade_128_p50_latency", "value": None,
         "unit": "s/patient", "vs_baseline": 0.0,
@@ -126,7 +132,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", str(CACHE_DIR))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    _device_watchdog()
+    # propagate a CLI-level --platform force (jax.config survives in-process
+    # but not into the probe subprocess)
+    forced = jax.config.jax_platforms if jax.config.jax_platforms else None
+    _device_watchdog(platform=forced)
 
     import jax.numpy as jnp
 

@@ -105,7 +105,6 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(directory / "monitored", options=options)
         self._last_ckptr: Optional[ocp.AsyncCheckpointer] = None
-        self._snap_ckptr: Optional[ocp.AsyncCheckpointer] = None
         # drain in-flight async writes before interpreter teardown — orbax's
         # background commit threads cannot schedule futures once the default
         # executor shuts down. ONE process-wide hook over a WeakSet: managers
@@ -173,18 +172,21 @@ class CheckpointManager:
     #    save_per_epoch epochs, network_trainer.py:304-307) -----------------
     def save_snapshot(self, step: int, tree: Any) -> None:
         """Write the never-rotated ``<dir>/iter_<step>/`` archival slot.
-        Async with depth 1, like save_last; snapshots are rare (every
-        save_per_epoch epochs) so at most one is ever in flight."""
-        if self._snap_ckptr is None:
-            self._snap_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-        self._snap_ckptr.wait_until_finished()
-        self._snap_ckptr.save(self._dir / f"iter_{step}",
-                              args=ocp.args.PyTreeSave(tree), force=True)
+        Shares the named-slot machinery (async depth 1, cross-instance
+        in-flight registration) so concurrent same-process readers
+        synchronize with it exactly like with 'last'."""
+        self.save_named(f"iter_{step}", tree)
 
     def snapshots(self) -> list:
-        """Global steps of the archival iter_* slots, ascending."""
-        if self._snap_ckptr is not None:
-            self._snap_ckptr.wait_until_finished()
+        """Global steps of the archival iter_* slots, ascending. Waits for
+        any in-flight same-process snapshot write first (the registry covers
+        writes issued by OTHER manager instances too)."""
+        prefix = str(self._dir / "iter_")
+        for path, ref in list(_LAST_INFLIGHT.items()):
+            if path.startswith(prefix):
+                inflight = ref()
+                if inflight is not None:
+                    inflight.wait_until_finished()
         out = []
         for child in self._dir.iterdir() if self._dir.exists() else []:
             if child.is_dir() and child.name.startswith("iter_") \
@@ -193,19 +195,12 @@ class CheckpointManager:
         return sorted(out)
 
     def restore_snapshot(self, step: int, target: Optional[Any] = None) -> Any:
-        if self._snap_ckptr is not None:
-            self._snap_ckptr.wait_until_finished()
-        path = self._dir / f"iter_{step}"
-        if not path.exists():
-            return None
-        return restore_checkpoint(path, target)
+        return self.restore_named(f"iter_{step}", target)
 
     def wait(self) -> None:
         """Block until every async save issued by this manager is durable."""
         if self._last_ckptr is not None:
             self._last_ckptr.wait_until_finished()
-        if self._snap_ckptr is not None:
-            self._snap_ckptr.wait_until_finished()
         self._mgr.wait_until_finished()
 
     def _drain(self) -> None:
@@ -250,9 +245,6 @@ class CheckpointManager:
         if self._last_ckptr is not None:
             self._last_ckptr.close()
             self._last_ckptr = None
-        if self._snap_ckptr is not None:
-            self._snap_ckptr.close()
-            self._snap_ckptr = None
         self._mgr.close()
         _LIVE_MANAGERS.discard(self)
 

@@ -613,7 +613,16 @@ class CascadeC3DTrainer:
                 self.state = restored["state"]
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
         global_step = int(self.state.step)
+        # the slot's whole-run-best invariant must survive resume: the loss
+        # lives inside the slot tree (the legacy trainer persists
+        # best_average_train_loss in its pickled log, network_trainer.py:69)
         best_train_loss = float("inf")
+        if resume:
+            prev = self.ckpt.restore_named(
+                "best_train_loss",
+                {"state": self.state, "epoch": 0, "loss": 0.0})
+            if prev is not None:
+                best_train_loss = float(prev["loss"])
         for epoch in range(start_epoch, cfg.max_epochs):
             losses = []
             for batch in _traced_epoch(device_prefetch(
@@ -632,8 +641,10 @@ class CascadeC3DTrainer:
             # epoch-average train loss improves (network_trainer.py:171-175)
             if mean_loss < best_train_loss:
                 best_train_loss = mean_loss
-                self.ckpt.save_named("best_train_loss",
-                                     {"state": self.state, "epoch": epoch})
+                self.ckpt.save_named(
+                    "best_train_loss",
+                    {"state": self.state, "epoch": epoch,
+                     "loss": float(mean_loss)})
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
                 scores = []
                 for batch in dose_batches(val_ds, batch_size=1, shuffle=False, augment=False):

@@ -491,7 +491,14 @@ def run_search(
         for line in journal.read_text().splitlines():
             if not line.strip():
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                # a crash mid-append leaves a truncated trailing line — the
+                # exact scenario resume exists for; skip it (that trial
+                # simply re-runs)
+                print(f"[tune] skipping truncated journal line in {journal}")
+                continue
             t = Trial(trial_id=rec["trial_id"], config=rec["config"])
             if isinstance(scheduler, ASHAScheduler):
                 for epoch, value in rec.get("report_log", []):
@@ -503,9 +510,12 @@ def run_search(
             t.report_log = [list(p) for p in rec.get("report_log", [])]
             trials.append(t)
             history.append((t.config, t.last_value))
-        # keep the 'random' stream aligned with the interrupted run: the
-        # replayed trials consumed this many draws before the crash
-        for _ in trials:
+        # keep the 'random' stream aligned with the interrupted run: every
+        # SUBMITTED trial consumed a draw, including in-flight ones that
+        # never reached the journal — max journaled id + 1 counts them
+        # (exact for serial runs; best-effort under max_concurrent>1, where
+        # thread interleaving already makes draw order nondeterministic)
+        for _ in range(max((t.trial_id for t in trials), default=-1) + 1):
             sample_config(space, rng)
 
     def journal_append(trial: Trial) -> None:

@@ -1,6 +1,8 @@
 """End-to-end trainer smoke tests on the synthetic fixture: the full vertical
 slice (NIfTI → preprocess → augment → prefetch → jit step → ckpt → eval)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -302,7 +304,22 @@ def test_c3d_best_train_loss_slot(tmp_path, synthetic_ds):
     tr = CascadeC3DTrainer(cfg, model=SMALL_C3D,
                            example_shape=(1, SIZE, SIZE, SIZE, 9))
     tr.fit(synthetic_ds, val_ds=None)
-    restored = tr.ckpt.restore_named("best_train_loss",
-                                     {"state": tr.state, "epoch": 0})
+    restored = tr.ckpt.restore_named(
+        "best_train_loss", {"state": tr.state, "epoch": 0, "loss": 0.0})
     assert restored is not None
     assert 0 <= int(restored["epoch"]) < 2
+    best = float(restored["loss"])
+    assert np.isfinite(best)
+
+    # whole-run-best invariant survives resume: seed the slot with an
+    # unbeatable loss, resume for one more epoch, and the slot must NOT be
+    # overwritten by the (necessarily worse) post-resume epoch
+    tr.ckpt.save_named("best_train_loss",
+                       {"state": tr.state, "epoch": 1, "loss": -1.0})
+    cfg2 = dataclasses.replace(cfg, max_epochs=3)
+    tr2 = CascadeC3DTrainer(cfg2, model=SMALL_C3D,
+                            example_shape=(1, SIZE, SIZE, SIZE, 9))
+    tr2.fit(synthetic_ds, val_ds=None, resume=True)
+    again = tr2.ckpt.restore_named(
+        "best_train_loss", {"state": tr2.state, "epoch": 0, "loss": 0.0})
+    assert float(again["loss"]) == -1.0

@@ -383,3 +383,27 @@ def test_search_resume_skips_gapped_ids(tmp_path):
     ids = sorted(t["trial_id"] for t in res["trials"])
     assert ids == [0, 2, 3, 4] and len(res["trials"]) == 4
     assert res["best_value"] == 1.0          # replayed id 0 still wins
+
+
+def test_search_resume_tolerates_truncated_journal_line(tmp_path):
+    """A crash mid-append leaves a partial trailing JSON line — resume must
+    skip it (that trial re-runs) instead of raising JSONDecodeError."""
+    import json as _json
+
+    out = tmp_path / "search"
+    out.mkdir()
+    good = dict(trial_id=0, config={"lr": 0.01}, rung=0, last_value=1.0,
+                stopped=False, completed=True, history=[1.0],
+                report_log=[[1, 1.0]])
+    (out / "trials.jsonl").write_text(
+        _json.dumps(good) + "\n" + '{"trial_id": 1, "conf')   # truncated
+
+    def train_trial(config, report):
+        report(1, 2.0)
+        return 2.0
+
+    res = run_search(train_trial, space={"lr": LogUniform(1e-4, 1e-1)},
+                     num_samples=2, seed=0, out_dir=str(out), resume=True,
+                     scheduler=ASHAScheduler(max_t=1, mode="min"))
+    assert len(res["trials"]) == 2           # replayed 0 + one re-run
+    assert res["best_value"] == 1.0
