@@ -94,17 +94,22 @@ def test_native_augment_matches_numpy_chain():
 
     if not N.native_available():
         pytest.skip("native library unavailable")
-    for trial in range(20):
-        rng1 = np.random.default_rng(100 + trial)
-        rng2 = np.random.default_rng(100 + trial)
-        data = np.random.default_rng(trial)
-        inp = data.normal(size=(10, 10, 6, 4)).astype(np.float32)
-        gt = data.normal(size=(10, 10, 6, 2)).astype(np.float32)
-        ref_inp, ref_gt = T.augment_dose_sample(inp, gt, rng1)
-        out = N.augment_dose_bf16(inp, gt, rng2, n_threads=2)
-        assert out is not None
-        np.testing.assert_array_equal(out[0], ref_inp.astype(ml_dtypes.bfloat16).view(np.uint16))
-        np.testing.assert_array_equal(out[1], ref_gt.astype(ml_dtypes.bfloat16).view(np.uint16))
+    # D≠H exercises the rot90 output-dim swap (the k-odd (H,D) branch);
+    # 20 seeded trials make every flip/rot/shift combination fire
+    for shape in [(10, 10, 6), (8, 12, 6)]:
+        for trial in range(20):
+            rng1 = np.random.default_rng(100 + trial)
+            rng2 = np.random.default_rng(100 + trial)
+            data = np.random.default_rng(trial)
+            inp = data.normal(size=shape + (4,)).astype(np.float32)
+            gt = data.normal(size=shape + (2,)).astype(np.float32)
+            ref_inp, ref_gt = T.augment_dose_sample(inp, gt, rng1)
+            out = N.augment_dose_bf16(inp, gt, rng2, n_threads=2)
+            assert out is not None
+            np.testing.assert_array_equal(
+                out[0], ref_inp.astype(ml_dtypes.bfloat16).view(np.uint16))
+            np.testing.assert_array_equal(
+                out[1], ref_gt.astype(ml_dtypes.bfloat16).view(np.uint16))
 
 
 def test_native_bf16_cast_special_values():
