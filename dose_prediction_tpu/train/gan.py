@@ -25,7 +25,11 @@ from dose_prediction_tpu.models.experiments import VitGenerator, resnet10
 from dose_prediction_tpu.train import losses as L
 from dose_prediction_tpu.train import state as S
 from dose_prediction_tpu.train.state import TrainState, update_moving_loss
-from dose_prediction_tpu.train.trainers import _drains_checkpoints, _save_epoch_slots
+from dose_prediction_tpu.train.trainers import (
+    _drains_checkpoints,
+    _save_epoch_slots,
+    _stop_requested,
+)
 from dose_prediction_tpu.utils.logging import MetricLogger
 
 
@@ -273,7 +277,7 @@ class VitGANTrainer:
                 g_losses.append(info["g_loss"])
                 d_losses.append(info["d_loss"])
                 global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                if _stop_requested(cfg, global_step):
                     break
             self.logger.log({"gan_loss": _host_mean(g_losses),
                              "disc_loss": _host_mean(d_losses)}, epoch + 1)
@@ -285,7 +289,7 @@ class VitGANTrainer:
                                {"mean_dose_score": metrics["mean_dose_score"]})
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"g": self.g_state, "d": self.d_state, "epoch": epoch})
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 return
 
     def test(self, test_ds: OpenKBPDataset, *, sw_batch_size: int = 4,

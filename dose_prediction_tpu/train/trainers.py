@@ -263,18 +263,58 @@ def _host_mean(losses: List[jax.Array]) -> float:
     return float(jnp.mean(jnp.stack([jnp.asarray(l) for l in losses])))
 
 
+# -- preemption-graceful shutdown -------------------------------------------
+# Preemptible TPU fleets deliver SIGTERM ahead of eviction. While a fit runs
+# (main thread only — handlers cannot be installed from HPO worker threads),
+# SIGTERM sets this flag instead of killing the process: every trainer's
+# step/epoch loop polls it via _stop_requested(), so the run exits at the
+# next batch boundary AFTER the epoch-end 'last' save, and the
+# _drains_checkpoints finally-block makes all async writes durable before
+# fit returns. The flag resets at each fit entry, so a graceful stop in one
+# fit does not poison later fits in the same process (tests, HPO, k-fold).
+_SHUTDOWN_REQUESTED = False
+
+
+def _stop_requested(cfg: TrainConfig, global_step: int) -> bool:
+    """True when the fit should end at this boundary: max_steps reached, or
+    a SIGTERM arrived (preemption notice)."""
+    return _SHUTDOWN_REQUESTED or (
+        cfg.max_steps is not None and global_step >= cfg.max_steps)
+
+
 def _drains_checkpoints(fit_fn):
     """Ensure every async checkpoint write issued during fit is durable when
     fit returns (crash-consistency at the API boundary; also prevents orbax
     commit threads racing interpreter shutdown when a CLI process exits right
-    after training)."""
+    after training). Also installs the graceful-SIGTERM handler for the
+    duration of the fit (see _SHUTDOWN_REQUESTED above)."""
     import functools
+    import signal
 
     @functools.wraps(fit_fn)
     def wrapper(self, *args, **kwargs):
+        global _SHUTDOWN_REQUESTED
+        _SHUTDOWN_REQUESTED = False
+        prev_handler = None
+        installed = False
+
+        def _on_sigterm(signum, frame):
+            global _SHUTDOWN_REQUESTED
+            _SHUTDOWN_REQUESTED = True
+            print("[trainer] SIGTERM received: finishing the current step, "
+                  "saving 'last', draining checkpoints, then exiting",
+                  flush=True)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+            installed = True
+        except ValueError:
+            pass  # not the main thread (e.g. a concurrent HPO trial)
         try:
             return fit_fn(self, *args, **kwargs)
         finally:
+            if installed:
+                signal.signal(signal.SIGTERM, prev_handler)
             ckpt = getattr(self, "ckpt", None)
             if ckpt is not None:
                 ckpt.wait()
@@ -396,7 +436,7 @@ class PyferTrainer:
                     epoch_losses.append(loss)   # device scalar; no per-step sync
                     timer.tock("train")
                     global_step += 1
-                    if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                    if _stop_requested(cfg, global_step):
                         break
                 mean_loss = _host_mean(epoch_losses)
             self.logger.log({"train_mean_loss": mean_loss,
@@ -427,7 +467,7 @@ class PyferTrainer:
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"state": self.state, "epoch": epoch})
             self.logger.log_text(f"epoch {epoch + 1}: {timer.report()}")
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 break
 
     def test(self, test_ds: OpenKBPDataset, *, device_metrics: bool = False,
@@ -633,7 +673,7 @@ class CascadeC3DTrainer:
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                if _stop_requested(cfg, global_step):
                     break
             mean_loss = _host_mean(losses)
             self.logger.log({"train_mean_loss": mean_loss}, epoch + 1)
@@ -669,7 +709,7 @@ class CascadeC3DTrainer:
                     self.logger.log({"lr": new_lr}, epoch + 1)
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"state": self.state, "epoch": epoch})
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 break
 
     def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True,
@@ -752,7 +792,7 @@ class HDUNetTrainer:
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                if _stop_requested(cfg, global_step):
                     break
             self.logger.log({"train_mean_loss": _host_mean(losses)}, epoch + 1)
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
@@ -762,7 +802,7 @@ class HDUNetTrainer:
                                {"mean_dose_score": metrics["mean_dose_score"]})
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"state": self.state, "epoch": epoch})
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 return
 
     def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True,
@@ -889,7 +929,7 @@ class TranSegTrainer:
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                if _stop_requested(cfg, global_step):
                     break
             self.logger.log({"train_loss": _host_mean(losses)}, epoch + 1)
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
@@ -901,7 +941,7 @@ class TranSegTrainer:
                                {"val_loss": val_loss})
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"state": self.state, "epoch": epoch})
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 break
 
 
@@ -991,7 +1031,7 @@ class ExpModelTrainer:
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
                 global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                if _stop_requested(cfg, global_step):
                     break
             self.logger.log({"train_mean_loss": _host_mean(losses)}, epoch + 1)
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
@@ -1001,7 +1041,7 @@ class ExpModelTrainer:
                                {"mean_dose_score": metrics["mean_dose_score"]})
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"state": self.state, "epoch": epoch})
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 return
 
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4) -> Dict[str, float]:
@@ -1112,7 +1152,7 @@ class DoseGANTrainer:
                 g_losses.append(info["g_loss"])
                 d_losses.append(info["d_loss"])
                 global_step += 1
-                if cfg.max_steps is not None and global_step >= cfg.max_steps:
+                if _stop_requested(cfg, global_step):
                     break
             self.logger.log({"gan_loss": _host_mean(g_losses),
                              "disc_loss": _host_mean(d_losses)}, epoch + 1)
@@ -1124,7 +1164,7 @@ class DoseGANTrainer:
                                {"mean_dose_score": metrics["mean_dose_score"]})
             _save_epoch_slots(self.ckpt, cfg, epoch, global_step,
                               {"g": self.g_state, "d": self.d_state, "epoch": epoch})
-            if cfg.max_steps is not None and global_step >= cfg.max_steps:
+            if _stop_requested(cfg, global_step):
                 return
 
     def test(self, test_ds: OpenKBPDataset, *, with_ivs: bool = True,
