@@ -3,12 +3,13 @@ supervision, frozen net_A, adamw) across two processes on a dp=2 global mesh
 — proves the product step functions are multi-host clean, not just the toy
 matmul in test_multihost."""
 
+import os
 import subprocess
 import sys
-import os
 import textwrap
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parents[1]
@@ -83,6 +84,3 @@ def test_two_process_flagship_train_step():
         losses.append(float(line.split("loss=")[1]))
     assert losses[0] == losses[1]                    # replicas in lockstep
     assert np.isfinite(losses[0]) and losses[0] > 0.0
-
-
-import numpy as np  # noqa: E402  (used in the assertion above)
