@@ -206,8 +206,28 @@ def device_prefetch(iterator: Iterator, *, size: int = 2,
     sentinel = object()
     err: List[BaseException] = []
 
+    multiprocess = jax.process_count() > 1
+
     def put(batch):
         if sharding is not None:
+            if multiprocess:
+                # multi-host dp: every process builds the SAME global batch
+                # (same seed/shuffle); each contributes only its contiguous
+                # row slice — device_put cannot address other hosts' chips
+                # (parallel/multihost.py shows the standalone pattern)
+                num, pid = jax.process_count(), jax.process_index()
+
+                def shard(a):
+                    a = np.asarray(a)
+                    if a.shape[0] % num:
+                        raise ValueError(
+                            f"global batch {a.shape[0]} must divide over "
+                            f"{num} processes")
+                    per = a.shape[0] // num
+                    return jax.make_array_from_process_local_data(
+                        sharding, a[pid * per:(pid + 1) * per], a.shape)
+
+                return jax.tree.map(shard, batch)
             return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 

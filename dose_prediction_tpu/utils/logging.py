@@ -24,7 +24,17 @@ class MetricLogger:
                  mirror_stdout: bool = True):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
-        self.path = self.dir / "metrics.jsonl"
+        # multi-host runs share log_dir (pod filesystems): non-zero processes
+        # write a suffixed file so records never interleave in metrics.jsonl
+        suffix = ""
+        try:
+            import jax
+
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                suffix = f".p{jax.process_index()}"
+        except Exception:
+            pass
+        self.path = self.dir / f"metrics{suffix}.jsonl"
         self._f: TextIO = open(self.path, "a")
         self.run_name = run_name
         self.mirror = mirror_stdout
