@@ -74,6 +74,18 @@ def build_parser() -> argparse.ArgumentParser:
                          "'cpu' works even where a site hook overrides the "
                          "JAX_PLATFORMS env var (e.g. to debug on a host "
                          "whose TPU is unreachable); 'auto' = jax default")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join the multi-host runtime before training (one "
+                         "process per host; parallel/multihost.py). On TPU "
+                         "pods everything is auto-detected; elsewhere also "
+                         "pass --coordinator/--num-processes/--process-id. "
+                         "Combine with --mesh data=<total chips>")
+    ap.add_argument("--coordinator", default=None,
+                    help="multihost coordinator host:port (auto on TPU pods)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="multihost world size (auto on TPU pods)")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="this process's rank (auto on TPU pods)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     tr = sub.add_parser("train", help="train a model")
@@ -290,6 +302,15 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.multihost:
+        # must also precede first device use; after this jax.devices() spans
+        # every host and --mesh axes can cover the whole pod
+        from dose_prediction_tpu.parallel import multihost as MH
+
+        MH.initialize(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
 
     if args.cmd == "bench":
         import runpy

@@ -110,6 +110,12 @@ def _build_mesh(mesh_shape):
     from dose_prediction_tpu.parallel import mesh as PM
 
     total = int(np.prod(list(mesh_shape.values())))
+    if jax.process_count() > 1 and total != len(jax.devices()):
+        # a partial slice of the global device list would concentrate the
+        # mesh on the first host(s) and break per-process batch sharding
+        raise ValueError(
+            f"multi-host runs must mesh over ALL devices: mesh {mesh_shape} "
+            f"covers {total} of {len(jax.devices())} global devices")
     return PM.create_mesh(dict(mesh_shape), devices=jax.devices()[:total])
 
 
