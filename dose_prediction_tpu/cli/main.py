@@ -304,6 +304,11 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     if args.multihost:
+        if args.cmd == "tune":
+            raise SystemExit(
+                "--multihost does not compose with tune: HPO parallelizes "
+                "TRIALS across local devices (one search per host; aggregate "
+                "trials.jsonl journals instead)")
         # must also precede first device use; after this jax.devices() spans
         # every host and --mesh axes can cover the whole pod
         from dose_prediction_tpu.parallel import multihost as MH

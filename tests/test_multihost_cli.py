@@ -25,6 +25,15 @@ def test_parser_multihost_flags():
     assert args.multihost is False
 
 
+def test_multihost_tune_rejected():
+    """HPO parallelizes trials across LOCAL devices; combining it with the
+    process-spanning runtime is undefined — the CLI must refuse clearly."""
+    from dose_prediction_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="does not compose with tune"):
+        main(["--multihost", "tune", "--data", "x"])
+
+
 @pytest.mark.slow
 def test_cli_two_process_train(tmp_path):
     """The SAME CLI command on two processes (ranks differ) trains one dp=2
