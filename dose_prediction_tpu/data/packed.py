@@ -85,6 +85,7 @@ def packed_dose_batches(
     seed: int = 0,
     drop_last: bool = False,
     num_samples_per_epoch: int | None = None,
+    process_rows=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """One epoch of packed batches:
     {'ct','dose' (B,D,H,W) bf16; 'ptv','mask_bits' (B,D,H,W) u8;
@@ -95,8 +96,13 @@ def packed_dose_batches(
     Raises ValueError if any patient declines packing — the caller should use
     the f32 feed for such datasets. ``num_samples_per_epoch`` is the legacy
     loader's wraparound epoch sizing (dataloader_OpenKBP_C3D.py:129-134),
-    same as dose_batches'.
+    same as dose_batches'. ``process_rows=(process_index, process_count)``
+    builds only this host's row slice of each global batch (multi-host dp;
+    non-owned rows consume identical rng draws, partial tails drop — see
+    pipeline.dose_batches).
     """
+    from dose_prediction_tpu.data.pipeline import _local_row_range
+
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if shuffle:
@@ -104,13 +110,20 @@ def packed_dose_batches(
     if num_samples_per_epoch is not None:
         reps = -(-num_samples_per_epoch // len(order))
         order = np.tile(order, reps)[:num_samples_per_epoch]
+    lo, hi = (None, None)
+    if process_rows is not None:
+        lo, hi = _local_row_range(batch_size, process_rows)
     for i in range(0, len(order), batch_size):
         idx = order[i:i + batch_size]
-        if drop_last and len(idx) < batch_size:
+        if (drop_last or process_rows is not None) and len(idx) < batch_size:
             return
         cols = {k: [] for k in ("ct", "dose", "ptv", "mask_bits")}
         shifts, flips, rots = [], [], []
-        for j in idx:
+        for r, j in enumerate(idx):
+            if lo is not None and not (lo <= r < hi):
+                if augment:
+                    draw_augment_decisions(rng)  # stream parity with owners
+                continue
             p = dataset[int(j)]
             packed = pack_patient(p)
             if packed is None:

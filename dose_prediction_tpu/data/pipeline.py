@@ -17,7 +17,26 @@ import jax
 import numpy as np
 
 from dose_prediction_tpu.data.openkbp import OpenKBPDataset
-from dose_prediction_tpu.data.transforms import augment_dose_sample, augment_seg_sample
+from dose_prediction_tpu.data.transforms import (
+    augment_dose_sample,
+    augment_seg_sample,
+    draw_augment_decisions,
+)
+
+
+def _local_row_range(batch_size: int, process_rows) -> tuple:
+    """The [lo, hi) rows of a global batch owned by this process.
+
+    ``process_rows`` is (process_index, process_count). Ownership is the
+    contiguous equal split matching device_prefetch's multi-host sharding
+    (process p's devices hold rows [p·per, (p+1)·per) of a 'data'-sharded
+    global array when the mesh enumerates jax.devices() in order)."""
+    pid, num = process_rows
+    if batch_size % num:
+        raise ValueError(
+            f"global batch {batch_size} does not divide over {num} processes")
+    per = batch_size // num
+    return pid * per, (pid + 1) * per
 
 
 def dose_batches(
@@ -30,12 +49,20 @@ def dose_batches(
     drop_last: bool = False,
     num_samples_per_epoch: int | None = None,
     native_bf16: bool = False,
+    process_rows=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """One epoch of {'input': (N,D,H,W,9), 'gt': (N,D,H,W,2)} batches.
 
     ``num_samples_per_epoch`` reproduces the legacy loader's index-wraparound
     sampling (dataloader_OpenKBP_C3D.py:129-134): an epoch longer (or
     shorter) than the dataset cycles through it modulo its length.
+
+    ``process_rows=(process_index, process_count)`` builds only THIS host's
+    contiguous row slice of each global batch (multi-host dp): non-owned rows
+    consume the identical augmentation rng draws (stream parity across
+    processes) but skip dataset access, augmentation, and stacking — each
+    host does 1/N of the feed work. Partial tail batches are dropped (they
+    cannot split evenly). Pair with device_prefetch(local_rows=True).
 
     ``native_bf16=True`` runs augmentation through the fused C++ path
     (native/dose_io.cpp::dose_io_augment_dose_bf16) and yields bfloat16
@@ -55,12 +82,19 @@ def dose_batches(
         import ml_dtypes
 
         bf16 = ml_dtypes.bfloat16
+    lo, hi = (None, None)
+    if process_rows is not None:
+        lo, hi = _local_row_range(batch_size, process_rows)
     for i in range(0, len(order), batch_size):
         idx = order[i:i + batch_size]
-        if drop_last and len(idx) < batch_size:
+        if (drop_last or process_rows is not None) and len(idx) < batch_size:
             return
         inputs, gts = [], []
-        for j in idx:
+        for r, j in enumerate(idx):
+            if lo is not None and not (lo <= r < hi):
+                if augment:
+                    draw_augment_decisions(rng)  # stream parity with owners
+                continue
             p = dataset[int(j)]
             inp, gt = p.model_input, p.gt
             if augment and bf16 is not None and inp.shape[0] == inp.shape[1]:
@@ -99,9 +133,18 @@ def seg_batches(
     drop_last: bool = False,
     feed_dtype: str = "float32",
     num_samples_per_epoch: int | None = None,
+    process_rows=None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Seg epochs: pos/neg crops ×num_samples per patient, batched
     ({'ct': (N,*crop,1), 'labels': (N,*crop) uint8}).
+
+    ``process_rows=(process_index, process_count)``: multi-host dp — yield
+    only this host's contiguous row slice of each global batch. Crop-start
+    sampling and augment decisions are drawn for EVERY global row (the draws
+    depend on per-patient data, so all processes must walk one identical rng
+    stream), but the expensive crop gather/stack happens only for owned rows;
+    partial tail batches are dropped. Pair with
+    device_prefetch(local_rows=True).
 
     Labels ship as uint8 (≤255 classes always holds; the train step casts to
     int32 on device) and ``feed_dtype='bfloat16'`` ships the CT window as bf16
@@ -130,8 +173,21 @@ def seg_batches(
 
         lib = N.get_lib()
         use_native = lib is not None and hasattr(lib, "dose_io_augment_seg_bf16")
+    lo, hi = (None, None)
+    if process_rows is not None:
+        lo, hi = _local_row_range(batch_size, process_rows)
     buf_ct: List[np.ndarray] = []
     buf_lab: List[np.ndarray] = []
+    gpos = 0  # position of the next crop within the GLOBAL batch
+
+    def owned() -> bool:
+        return lo is None or (lo <= gpos < hi)
+
+    def batch_ready() -> bool:
+        # the global batch is full when gpos wraps; the local buffer then
+        # holds this process's slice of it (the whole batch when lo is None)
+        return gpos == 0 and bool(buf_ct)
+
     for j in order:
         p = dataset[int(j)]
         if use_native and all(s >= c for s, c in zip(p.ct.shape, crop)):
@@ -147,28 +203,37 @@ def seg_batches(
                                      crop=crop, num_samples=num_samples)
             for start in starts:
                 decisions = draw_seg_aug_decisions(rng)
-                res = N.augment_seg_bf16(ct_f32, labels_u8, start, crop, decisions)
-                if res is not None:
-                    buf_ct.append(res[0].view(ct_dtype)[..., None])
-                    buf_lab.append(res[1])
-                else:
-                    sl = tuple(slice(s, s + c) for s, c in zip(start, crop))
-                    cvol, clab = apply_seg_augment(ct_f32[sl], labels_u8[sl],
-                                                   *decisions)
-                    buf_ct.append(cvol[..., None].astype(ct_dtype))
-                    buf_lab.append(clab)
-                if len(buf_ct) == batch_size:
+                if owned():
+                    res = N.augment_seg_bf16(ct_f32, labels_u8, start, crop,
+                                             decisions)
+                    if res is not None:
+                        buf_ct.append(res[0].view(ct_dtype)[..., None])
+                        buf_lab.append(res[1])
+                    else:
+                        sl = tuple(slice(s, s + c)
+                                   for s, c in zip(start, crop))
+                        cvol, clab = apply_seg_augment(
+                            ct_f32[sl], labels_u8[sl], *decisions)
+                        buf_ct.append(cvol[..., None].astype(ct_dtype))
+                        buf_lab.append(clab)
+                gpos = (gpos + 1) % batch_size
+                if batch_ready():
                     yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
                     buf_ct, buf_lab = [], []
             continue
+        # numpy fallback: augment_seg_sample fuses draws with application, so
+        # non-owned crops still compute (stream parity is what matters); only
+        # owned rows are stacked and shipped
         for cvol, clab in augment_seg_sample(p.ct, p.oars_label_encoded.astype(np.float32),
                                              rng, crop=crop, num_samples=num_samples):
-            buf_ct.append(cvol[..., None].astype(ct_dtype))
-            buf_lab.append(clab.astype(np.uint8))
-            if len(buf_ct) == batch_size:
+            if owned():
+                buf_ct.append(cvol[..., None].astype(ct_dtype))
+                buf_lab.append(clab.astype(np.uint8))
+            gpos = (gpos + 1) % batch_size
+            if batch_ready():
                 yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
                 buf_ct, buf_lab = [], []
-    if buf_ct and not drop_last:
+    if buf_ct and not drop_last and process_rows is None:
         yield {"ct": np.stack(buf_ct), "labels": np.stack(buf_lab)}
 
 
@@ -197,37 +262,70 @@ def linked_batches(
         yield {"input": np.stack(inputs), "gt": np.stack(gts)}
 
 
+def host_to_global(sharding, a):
+    """One host array → a global jax.Array under ``sharding`` in a
+    multi-process runtime. Row-sharded specs (dim 0 partitioned, the dp train
+    feed) expect ``a`` to be the FULL global batch and contribute this
+    process's contiguous row slice; replicated/row-unsharded specs (the
+    full-volume validation feed) expect every process to pass the same full
+    array. Single-process: plain device_put."""
+    a = np.asarray(a)
+    if jax.process_count() == 1:
+        return jax.device_put(a, sharding)
+    spec = getattr(sharding, "spec", None) or ()
+    row_sharded = len(spec) > 0 and spec[0] is not None
+    if not row_sharded:
+        return jax.make_array_from_process_local_data(sharding, a, a.shape)
+    num, pid = jax.process_count(), jax.process_index()
+    if a.shape[0] % num:
+        raise ValueError(f"global batch {a.shape[0]} must divide over "
+                         f"{num} processes")
+    per = a.shape[0] // num
+    return jax.make_array_from_process_local_data(
+        sharding, a[pid * per:(pid + 1) * per], a.shape)
+
+
 def device_prefetch(iterator: Iterator, *, size: int = 2,
-                    sharding=None) -> Iterator:
+                    sharding=None, local_rows: bool = False) -> Iterator:
     """Run the host iterator in a thread and keep ``size`` batches resident on
     device ahead of compute (the pin_memory/prefetch analogue; H2D overlaps
-    the previous step's compute)."""
+    the previous step's compute).
+
+    Multi-process (multi-host) runs: with ``local_rows=False`` each batch is
+    the full GLOBAL batch and this process contributes its row slice (or the
+    whole array for replicated shardings — the validation feed). With
+    ``local_rows=True`` the iterator yields ONLY this process's rows (the
+    builders' ``process_rows`` mode) and the global leading dim is
+    ``rows × process_count``."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: List[BaseException] = []
 
     multiprocess = jax.process_count() > 1
+    if local_rows and sharding is None:
+        raise ValueError("local_rows requires a (row-sharded) sharding")
 
     def put(batch):
         if sharding is not None:
             if multiprocess:
-                # multi-host dp: every process builds the SAME global batch
-                # (same seed/shuffle); each contributes only its contiguous
-                # row slice — device_put cannot address other hosts' chips
-                # (parallel/multihost.py shows the standalone pattern)
-                num, pid = jax.process_count(), jax.process_index()
-
-                def shard(a):
-                    a = np.asarray(a)
-                    if a.shape[0] % num:
+                if local_rows:
+                    num = jax.process_count()
+                    spec = getattr(sharding, "spec", None) or ()
+                    if not (len(spec) > 0 and spec[0] is not None):
                         raise ValueError(
-                            f"global batch {a.shape[0]} must divide over "
-                            f"{num} processes")
-                    per = a.shape[0] // num
-                    return jax.make_array_from_process_local_data(
-                        sharding, a[pid * per:(pid + 1) * per], a.shape)
+                            "local_rows needs a batch-sharded spec; the "
+                            "validation (replicated) feed must ship full "
+                            "batches")
 
-                return jax.tree.map(shard, batch)
+                    def shard(a):
+                        a = np.asarray(a)
+                        global_shape = (a.shape[0] * num,) + a.shape[1:]
+                        return jax.make_array_from_process_local_data(
+                            sharding, a, global_shape)
+
+                    return jax.tree.map(shard, batch)
+                return jax.tree.map(lambda a: host_to_global(sharding, a),
+                                    batch)
             return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 

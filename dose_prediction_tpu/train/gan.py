@@ -235,6 +235,7 @@ class VitGANTrainer:
             *, resume: bool = True):
         from dose_prediction_tpu.train.trainers import (
             _check_mesh_batch,
+            _feed_rows,
             _host_mean,
             _traced_epoch,
             _train_batches,
@@ -268,8 +269,10 @@ class VitGANTrainer:
             g_losses, d_losses = [], []
             for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
-                                   drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding),
+                                   drop_last=self.batch_sharding is not None,
+                                   process_rows=_feed_rows(self.batch_sharding)),
+                    sharding=self.batch_sharding,
+                    local_rows=_feed_rows(self.batch_sharding) is not None),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(
                     self.g_state, self.d_state, batch,

@@ -26,7 +26,12 @@ import numpy as np
 
 from dose_prediction_tpu.core import checkpoint as C
 from dose_prediction_tpu.data.openkbp import OpenKBPDataset
-from dose_prediction_tpu.data.pipeline import device_prefetch, dose_batches, seg_batches
+from dose_prediction_tpu.data.pipeline import (
+    device_prefetch,
+    dose_batches,
+    host_to_global,
+    seg_batches,
+)
 from dose_prediction_tpu.evaluation import metrics as M
 from dose_prediction_tpu.infer.sliding_window import make_sliding_window_fn
 from dose_prediction_tpu.models import (
@@ -194,7 +199,19 @@ def _timed_batches(iterator, timer: EpochTimer, bucket: str = "loader"):
         yield batch
 
 
-def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool):
+def _feed_rows(batch_sharding):
+    """(process_index, process_count) when each host should build only ITS
+    rows of the global batch — multi-host dp with a sharded train feed — else
+    None (single process, or an unsharded feed where slicing would silently
+    desynchronize the replicas). Pass the result to the batch builders'
+    ``process_rows`` and set device_prefetch(local_rows=...) accordingly."""
+    if batch_sharding is None or jax.process_count() == 1:
+        return None
+    return jax.process_index(), jax.process_count()
+
+
+def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool,
+                   process_rows=None):
     """Epoch batch source honoring cfg.feed_dtype ('float32' | 'bfloat16' |
     'packed'); the packed feed pairs with step factories built with
     packed=True (data/packed.py). An unpackable dataset (non-binary masks /
@@ -209,13 +226,15 @@ def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool):
             return packed_dose_batches(
                 train_ds, batch_size=cfg.batch_size, seed=cfg.seed + epoch,
                 drop_last=drop_last,
-                num_samples_per_epoch=cfg.samples_per_epoch)
+                num_samples_per_epoch=cfg.samples_per_epoch,
+                process_rows=process_rows)
         print("[feed] dataset not packable (non-binary masks or non-integer "
               "70*PTV); falling back to the float32 feed")
     return dose_batches(train_ds, batch_size=cfg.batch_size,
                         seed=cfg.seed + epoch, drop_last=drop_last,
                         native_bf16=cfg.feed_dtype == "bfloat16",
-                        num_samples_per_epoch=cfg.samples_per_epoch)
+                        num_samples_per_epoch=cfg.samples_per_epoch,
+                        process_rows=process_rows)
 
 
 def _sliding_val_sweep(run, variables, val_ds, val_loss_fn,
@@ -431,8 +450,10 @@ class PyferTrainer:
             epoch_losses: List[jax.Array] = []
             it = _timed_batches(device_prefetch(
                 _train_batches(cfg, train_ds, epoch,
-                               drop_last=self.batch_sharding is not None),
-                sharding=self.batch_sharding), timer)
+                               drop_last=self.batch_sharding is not None,
+                               process_rows=_feed_rows(self.batch_sharding)),
+                sharding=self.batch_sharding,
+                local_rows=_feed_rows(self.batch_sharding) is not None), timer)
             from dose_prediction_tpu.utils.profiling import trace
             prof = trace(cfg.profile_dir if epoch == start_epoch else None)
             with prof:
@@ -673,8 +694,10 @@ class CascadeC3DTrainer:
             losses = []
             for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
-                                   drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding),
+                                   drop_last=self.batch_sharding is not None,
+                                   process_rows=_feed_rows(self.batch_sharding)),
+                    sharding=self.batch_sharding,
+                    local_rows=_feed_rows(self.batch_sharding) is not None),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
@@ -696,7 +719,7 @@ class CascadeC3DTrainer:
                 for batch in dose_batches(val_ds, batch_size=1, shuffle=False, augment=False):
                     x = batch["input"]
                     if self.val_sharding is not None:
-                        x = jax.device_put(jnp.asarray(x), self.val_sharding)
+                        x = host_to_global(self.val_sharding, x)
                     pred = self._predict(self.state.params, jnp.asarray(x))
                     gt = batch["gt"]
                     post = M.postprocess_prediction(np.asarray(pred)[..., 0], gt[..., 1])
@@ -792,8 +815,10 @@ class HDUNetTrainer:
             losses = []
             for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
-                                   drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding),
+                                   drop_last=self.batch_sharding is not None,
+                                   process_rows=_feed_rows(self.batch_sharding)),
+                    sharding=self.batch_sharding,
+                    local_rows=_feed_rows(self.batch_sharding) is not None),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
@@ -927,10 +952,12 @@ class TranSegTrainer:
                     batch_size=cfg.batch_size, seed=cfg.seed + epoch,
                     drop_last=self.batch_sharding is not None,
                     num_samples_per_epoch=cfg.samples_per_epoch,
+                    process_rows=_feed_rows(self.batch_sharding),
                     # seg has no bit-packed format; 'packed' maps to the bf16 CT
                     feed_dtype="bfloat16" if cfg.feed_dtype in ("bfloat16", "packed")
                     else "float32"),
-                    sharding=self.batch_sharding),
+                    sharding=self.batch_sharding,
+                    local_rows=_feed_rows(self.batch_sharding) is not None),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
@@ -1031,8 +1058,10 @@ class ExpModelTrainer:
             losses = []
             for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
-                                   drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding),
+                                   drop_last=self.batch_sharding is not None,
+                                   process_rows=_feed_rows(self.batch_sharding)),
+                    sharding=self.batch_sharding,
+                    local_rows=_feed_rows(self.batch_sharding) is not None),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.state, loss = self.train_step(self.state, batch)
                 losses.append(loss)
@@ -1151,8 +1180,10 @@ class DoseGANTrainer:
             g_losses, d_losses = [], []
             for batch in _traced_epoch(device_prefetch(
                     _train_batches(cfg, train_ds, epoch,
-                                   drop_last=self.batch_sharding is not None),
-                    sharding=self.batch_sharding),
+                                   drop_last=self.batch_sharding is not None,
+                                   process_rows=_feed_rows(self.batch_sharding)),
+                    sharding=self.batch_sharding,
+                    local_rows=_feed_rows(self.batch_sharding) is not None),
                     cfg.profile_dir if epoch == start_epoch else None):
                 self.g_state, self.d_state, info = self.step(self.g_state, self.d_state, batch)
                 g_losses.append(info["g_loss"])

@@ -45,13 +45,16 @@ WORKER = textwrap.dedent("""
     model = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
                       feature_size=2, hidden_size=24, mlp_dim=48,
                       num_layers=2, num_heads=2)
-    cfg = TrainConfig(max_epochs=2, check_val=50, batch_size=2,
+    cfg = TrainConfig(max_epochs=2, check_val=2, batch_size=2,
                       learning_rate=1e-3, mesh_shape={{"data": 2}},
                       ckpt_dir=work + "/ckpt", log_dir=work + "/logs")
     tr = PyferTrainer(cfg, model=model, example_shape=(2, 32, 32, 32, 9))
-    tr.fit(ds, val_ds=None, resume=False)
+    # val_ds exercises the multiprocess REPLICATED feed (full-volume batches
+    # assembled via make_array_from_process_local_data on every process) and
+    # the coordinated monitored checkpoint save
+    tr.fit(ds, val_ds=ds, resume=False)
     print(f"RESULT pid={{pid}} loss={{float(tr.state.moving_loss):.6f}} "
-          f"step={{int(tr.state.step)}}", flush=True)
+          f"step={{int(tr.state.step)}} val={{tr.best_val:.6f}}", flush=True)
 """).format(repo=str(REPO))
 
 
@@ -80,12 +83,15 @@ def test_two_process_pyfer_trainer_fit(tmp_path):
         assert p.returncode == 0, out
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
         parts = dict(kv.split("=") for kv in line.split()[1:])
-        results.append((float(parts["loss"]), int(parts["step"])))
-    # replicas trained in lockstep to the same state
+        results.append((float(parts["loss"]), int(parts["step"]),
+                        float(parts["val"])))
+    # replicas trained in lockstep to the same state (incl. the replicated
+    # validation sweep's mean_dose_score)
     assert results[0] == results[1]
-    loss, step = results[0]
+    loss, step, val = results[0]
     assert np.isfinite(loss) and loss > 0.0
     assert step == 2                                  # 2 epochs x 1 batch
+    assert np.isfinite(val) and val < 0.0             # -masked MAE in Gy
     # the coordinated orbax 'last' slot landed in the shared dir
     assert (tmp_path / "ckpt" / "last").exists()
     # non-zero processes logged to a suffixed file (no interleaving)
