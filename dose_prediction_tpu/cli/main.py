@@ -267,6 +267,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "source (default mirrors the reference's "
                          "strict=False surgery, dose_pyfer.py:394-407)")
 
+    sc = sub.add_parser(
+        "score",
+        help="directory-based OpenKBP scoring: saved dose.nii.gz predictions "
+             "(the predict layout) vs ground-truth patient folders — "
+             "get_Dose_score_and_DVH_score, evaluate_openKBP.py:84-146. "
+             "Pure host numpy; no device needed.")
+    sc.add_argument("--pred-dir", required=True,
+                    help="directory of <patient_id>/dose.nii.gz predictions")
+    sc.add_argument("--gt-dir", required=True,
+                    help="plain directory (not a glob) whose <patient_id>/ "
+                         "folders hold dose.nii.gz, possible_dose_mask.nii.gz "
+                         "and the structure masks")
+
     tu = sub.add_parser("tune", help="ASHA hyperparameter search")
     _add_common(tu)
     tu.add_argument("--num-samples", type=int, default=10)
@@ -322,6 +335,16 @@ def main(argv=None) -> int:
 
         runpy.run_path(str(Path(__file__).resolve().parent.parent.parent / "bench.py"),
                        run_name="__main__")
+        return 0
+
+    if args.cmd == "score":
+        # host-only numpy path — keep it usable with no device/backend at all
+        from dose_prediction_tpu.evaluation.metrics import score_prediction_dirs
+
+        dose_dif, dvh_dif, metric_means = score_prediction_dirs(
+            args.pred_dir, args.gt_dir)
+        print(json.dumps({"dose_score": dose_dif, "dvh_score": dvh_dif,
+                          "metrics": metric_means}, indent=2))
         return 0
 
     # lazy imports: CLI help must not pull in jax

@@ -77,6 +77,32 @@ def test_cli_predict_writes_nifti(tmp_path):
     assert len(outs) == 2
 
 
+def test_cli_score_directory_scoring(tmp_path):
+    """score subcommand (get_Dose_score_and_DVH_score surface,
+    evaluate_openKBP.py:84-146): gt-as-prediction scores exactly 0, host-only."""
+    import shutil
+
+    make_synthetic_dataset(tmp_path / "data", n_patients=2, shape=(16, 16, 16))
+    for pdir in sorted((tmp_path / "data").glob("pt_*")):
+        out = tmp_path / "preds" / pdir.name
+        out.mkdir(parents=True)
+        shutil.copy(pdir / "dose.nii.gz", out / "dose.nii.gz")
+    from dose_prediction_tpu.cli.main import main
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["score", "--pred-dir", str(tmp_path / "preds"),
+                   "--gt-dir", str(tmp_path / "data")])
+    assert rc == 0
+    result = json.loads(buf.getvalue())
+    assert result["dose_score"] == 0.0
+    assert result["dvh_score"] == pytest.approx(0.0, abs=1e-9)
+    assert result["metrics"]  # per-metric gt/pred means present
+
+
 @pytest.mark.slow
 def test_cli_train_c3d_scheduler_and_packed(tmp_path):
     """CLI vertical with the round-3 flags: packed feed + cosine schedule +
