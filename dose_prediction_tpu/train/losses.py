@@ -27,6 +27,17 @@ def masked_l1(pred: jax.Array, gt: jax.Array, mask: jax.Array) -> jax.Array:
     return _masked_mean(jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32)), mask)
 
 
+def masked_l1_per_sample(pred: jax.Array, gt: jax.Array,
+                         mask: jax.Array) -> jax.Array:
+    """Per-sample masked mean |pred − gt| → (B,). The batched-validation
+    primitive: a dp mesh scores a whole batch of val patients in one program,
+    and the mean over samples equals the reference's per-patient sweep."""
+    err = jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32))
+    m = (mask > 0).astype(jnp.float32)
+    axes = tuple(range(1, err.ndim))
+    return jnp.sum(err * m, axis=axes) / jnp.maximum(jnp.sum(m, axis=axes), 1.0)
+
+
 def masked_huber(pred: jax.Array, gt: jax.Array, mask: jax.Array, delta: float = 0.5) -> jax.Array:
     """torch.nn.HuberLoss(delta=0.5) over masked voxels (loss.py:53)."""
     d = pred.astype(jnp.float32) - gt.astype(jnp.float32)

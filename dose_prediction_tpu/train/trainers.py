@@ -237,6 +237,44 @@ def _train_batches(cfg: TrainConfig, train_ds, epoch: int, *, drop_last: bool,
                         process_rows=process_rows)
 
 
+def _padded_dose_val_batches(val_ds, val_batch: int):
+    """Full-volume validation feed for batched (dp-mesh) validation: fixed
+    ``val_batch`` rows per batch (one jit geometry), the tail padded by
+    repeating its last patient, plus a 'valid' (B,) weight column marking the
+    real rows. Row order matches the batch-1 sweep, so the validity-weighted
+    mean equals the reference's per-patient scoring exactly."""
+    for batch in dose_batches(val_ds, batch_size=val_batch, shuffle=False,
+                              augment=False):
+        n = batch["input"].shape[0]
+        if n < val_batch:
+            pad = val_batch - n
+            batch = {k: np.concatenate([v] + [v[-1:]] * pad)
+                     for k, v in batch.items()}
+        batch["valid"] = (np.arange(val_batch) < n).astype(np.float32)
+        yield batch
+
+
+def _mesh_val_metrics(eval_fn, val_ds, mesh, batch_sharding) -> Dict[str, float]:
+    """Batched full-volume validation over a dp mesh: val_batch = the mesh's
+    'data' axis, so N replicas each score a different patient per program
+    instead of idling N−1 of them on the batch-1 sweep. ``eval_fn(batch)``
+    returns replicated scalars (dose_score_mean, val_loss_mean, n_valid) —
+    validity-weighted means over the batch. The weighted cohort accumulation
+    is bit-equal in exact arithmetic to the per-patient batch-1 sweep
+    (train_light_pyfer.py:154-174 semantics)."""
+    val_batch = mesh.shape["data"]
+    tot_s = tot_l = tot_n = 0.0
+    for batch in device_prefetch(_padded_dose_val_batches(val_ds, val_batch),
+                                 sharding=batch_sharding):
+        s, l, n = eval_fn(batch)
+        n = float(n)
+        tot_s += float(s) * n
+        tot_l += float(l) * n
+        tot_n += n
+    return {"mean_dose_score": -tot_s / max(tot_n, 1.0),
+            "val_loss": tot_l / max(tot_n, 1.0)}
+
+
 def _sliding_val_sweep(run, variables, val_ds, val_loss_fn,
                        val_scale: float) -> Dict[str, float]:
     """Pipelined sliding-window dose validation shared by the ×80-scale
@@ -471,23 +509,35 @@ class PyferTrainer:
 
             if val_ds is not None and (epoch + 1) % cfg.check_val == 0:
                 timer.tick()
-                scores, vlosses = [], []
-                for batch in device_prefetch(dose_batches(
-                        val_ds, batch_size=1, shuffle=False, augment=False),
-                        sharding=self.val_sharding):
-                    out = self.eval_step(self.state, batch)
-                    scores.append(float(out["dose_score"]))
-                    vlosses.append(float(out["val_loss"]))
-                mean_dose_score = -float(np.mean(scores))  # maximize (:179)
+                if self.mesh is not None and self.mesh.shape["data"] > 1:
+                    # dp mesh: score data-axis patients per program
+                    vm = _mesh_val_metrics(
+                        lambda b: (lambda o: (o["dose_score_mean"],
+                                              o["val_loss_mean"],
+                                              o["n_valid"]))(
+                            self.eval_step(self.state, b)),
+                        val_ds, self.mesh, self.batch_sharding)
+                    mean_dose_score = vm["mean_dose_score"]
+                    mean_vloss = vm["val_loss"]
+                else:
+                    scores, vlosses = [], []
+                    for batch in device_prefetch(dose_batches(
+                            val_ds, batch_size=1, shuffle=False, augment=False),
+                            sharding=self.val_sharding):
+                        out = self.eval_step(self.state, batch)
+                        scores.append(float(out["dose_score"]))
+                        vlosses.append(float(out["val_loss"]))
+                    mean_dose_score = -float(np.mean(scores))  # maximize (:179)
+                    mean_vloss = float(np.mean(vlosses))
                 timer.tock("val")
                 self.logger.log({"mean_dose_score": mean_dose_score,
-                                 "val_loss": float(np.mean(vlosses))}, epoch + 1)
+                                 "val_loss": mean_vloss}, epoch + 1)
                 self.best_val = max(self.best_val, mean_dose_score)
                 self.ckpt.save(epoch, {"state": self.state, "epoch": epoch},
                                {"mean_dose_score": mean_dose_score})
                 if on_validation is not None and on_validation(
                         epoch + 1, {"mean_dose_score": mean_dose_score,
-                                    "val_loss": float(np.mean(vlosses))}):
+                                    "val_loss": mean_vloss}):
                     self.logger.log_text(f"early-stopped at epoch {epoch + 1}")
                     return
             # crash-resume granularity: every epoch, not just val epochs
@@ -788,7 +838,28 @@ class HDUNetTrainer:
 
         self.eval_step = eval_step
 
+        @jax.jit
+        def eval_step_batched(params, batch):
+            # dp-mesh validation: per-sample metrics, validity-weighted to
+            # replicated scalars (pad rows carry weight 0)
+            pred = self.model.apply({"params": params}, batch["input"])
+            gt = batch["gt"]
+            v = batch["valid"].astype(jnp.float32)
+            mask = gt[..., 1:2]
+            per_l = L.masked_l1_per_sample(pred, gt[..., 0:1], mask)
+            post = M.postprocess_prediction_jax(pred, mask)
+            per_s = L.masked_l1_per_sample(post, 70.0 * gt[..., 0:1], mask)
+            n = jnp.maximum(jnp.sum(v), 1.0)
+            return (jnp.sum(per_s * v) / n, jnp.sum(per_l * v) / n,
+                    jnp.sum(v))
+
+        self.eval_step_batched = eval_step_batched
+
     def validate(self, val_ds: OpenKBPDataset) -> Dict[str, float]:
+        if self.mesh is not None and self.mesh.shape["data"] > 1:
+            return _mesh_val_metrics(
+                lambda b: self.eval_step_batched(self.state.params, b),
+                val_ds, self.mesh, self.batch_sharding)
         scores, vlosses = [], []
         for batch in device_prefetch(dose_batches(
                 val_ds, batch_size=1, shuffle=False, augment=False),
@@ -889,9 +960,22 @@ class TranSegTrainer:
     def _sw_run(self, sw_batch_size: int):
         run = self._sw_runs.get(sw_batch_size)
         if run is None:
-            run = make_sliding_window_fn(
-                self._predictor(), roi_size=self.crop,
-                sw_batch_size=sw_batch_size, out_channels=self.num_classes)
+            if self.mesh is not None and self.mesh.shape["data"] > 1:
+                # dp mesh: shard the WINDOW batch over the data axis — every
+                # replica sweeps a different slice of the window grid instead
+                # of idling behind one device's sw_batch loop (SURVEY §5.7
+                # spatial tiling as the sequence-parallel analogue)
+                from dose_prediction_tpu.infer.sliding_window import (
+                    make_sliding_window_sharded_fn,
+                )
+
+                run = make_sliding_window_sharded_fn(
+                    self._predictor(), self.mesh, roi_size=self.crop,
+                    out_channels=self.num_classes)
+            else:
+                run = make_sliding_window_fn(
+                    self._predictor(), roi_size=self.crop,
+                    sw_batch_size=sw_batch_size, out_channels=self.num_classes)
             self._sw_runs[sw_batch_size] = run
         return run
 
@@ -1153,7 +1237,36 @@ class DoseGANTrainer:
 
         self.eval_step = eval_step
 
+        @jax.jit
+        def eval_step_batched(g_params, g_stats, batch):
+            # dp-mesh validation: per-sample metrics, validity-weighted to
+            # replicated scalars (pad rows carry weight 0)
+            pred, _ = self.gen.apply(
+                {"params": g_params, "batch_stats": g_stats}, batch["input"],
+                train=False, mutable=["batch_stats"])
+            gt = batch["gt"]
+            v = batch["valid"].astype(jnp.float32)
+            axes = tuple(range(1, pred.ndim))
+            per_l = jnp.mean(jnp.abs(pred.astype(jnp.float32)
+                                     - gt[..., 0:1].astype(jnp.float32)),
+                             axis=axes)
+            mask = gt[..., 1:2]
+            post = M.postprocess_prediction_jax(pred, mask)
+            from dose_prediction_tpu.train import losses as L
+
+            per_s = L.masked_l1_per_sample(post, 70.0 * gt[..., 0:1], mask)
+            n = jnp.maximum(jnp.sum(v), 1.0)
+            return (jnp.sum(per_s * v) / n, jnp.sum(per_l * v) / n,
+                    jnp.sum(v))
+
+        self.eval_step_batched = eval_step_batched
+
     def validate(self, val_ds: OpenKBPDataset) -> Dict[str, float]:
+        if self.mesh is not None and self.mesh.shape["data"] > 1:
+            return _mesh_val_metrics(
+                lambda b: self.eval_step_batched(
+                    self.g_state.params, self.g_state.batch_stats, b),
+                val_ds, self.mesh, self.batch_sharding)
         scores, vlosses = [], []
         for batch in device_prefetch(dose_batches(
                 val_ds, batch_size=1, shuffle=False, augment=False),
