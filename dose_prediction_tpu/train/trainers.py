@@ -263,16 +263,17 @@ def _mesh_val_metrics(eval_fn, val_ds, mesh, batch_sharding) -> Dict[str, float]
     is bit-equal in exact arithmetic to the per-patient batch-1 sweep
     (train_light_pyfer.py:154-174 semantics)."""
     val_batch = mesh.shape["data"]
-    tot_s = tot_l = tot_n = 0.0
+    weighted = []  # device triples (score·n, loss·n, n); ONE sync at the end
     for batch in device_prefetch(_padded_dose_val_batches(val_ds, val_batch),
                                  sharding=batch_sharding):
         s, l, n = eval_fn(batch)
-        n = float(n)
-        tot_s += float(s) * n
-        tot_l += float(l) * n
-        tot_n += n
-    return {"mean_dose_score": -tot_s / max(tot_n, 1.0),
-            "val_loss": tot_l / max(tot_n, 1.0)}
+        weighted.append((s * n, l * n, n))
+    if not weighted:
+        return {"mean_dose_score": float("nan"), "val_loss": float("nan")}
+    tot = np.asarray(jnp.sum(jnp.asarray(weighted, jnp.float32), axis=0))
+    n_tot = max(float(tot[2]), 1.0)
+    return {"mean_dose_score": -float(tot[0]) / n_tot,
+            "val_loss": float(tot[1]) / n_tot}
 
 
 def _sliding_val_sweep(run, variables, val_ds, val_loss_fn,
