@@ -38,7 +38,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--mesh", default=None,
                    help="SPMD mesh, e.g. 'data=4' or 'data=4,model=2' "
-                        "(batch-size must divide by the data axis)")
+                        "(batch-size must divide by the data axis); 'auto' = "
+                        "data over every device the runtime sees (the whole "
+                        "pod under --multihost)")
     p.add_argument("--model-size", choices=["full", "small"], default="full",
                    help="'small' = reduced-width dev model for smoke runs/CI")
     p.add_argument("--feed-dtype", choices=["float32", "bfloat16", "packed"],
@@ -361,6 +363,12 @@ def main(argv=None) -> int:
     def parse_mesh(spec):
         if not spec:
             return None
+        if spec == "auto":
+            # dp over every device the runtime sees (after MH.initialize this
+            # is the whole pod) — no hand-computed chip totals
+            import jax
+
+            return {"data": jax.device_count()}
         return {k: int(v) for k, v in
                 (item.split("=") for item in spec.split(","))}
 

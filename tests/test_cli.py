@@ -104,6 +104,25 @@ def test_cli_score_directory_scoring(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_mesh_auto(tmp_path):
+    """--mesh auto sizes the data axis to the runtime's device count (the
+    virtual 8-CPU mesh here)."""
+    pattern = make_synthetic_dataset(tmp_path / "data", n_patients=2, shape=(16, 16, 16))
+    from dose_prediction_tpu.cli.main import main
+
+    rc = main(["train", "c3d", "--data", pattern, "--epochs", "1",
+               "--max-steps", "1", "--batch-size", "8", "--mesh", "auto",
+               "--samples-per-epoch", "8",   # wraparound: 2 patients → 8 rows
+               "--ckpt-dir", str(tmp_path / "ckpt"),
+               "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    metrics = [json.loads(line) for line in
+               (tmp_path / "logs" / "metrics.jsonl").read_text().splitlines()]
+    losses = [m["train_mean_loss"] for m in metrics if "train_mean_loss" in m]
+    assert losses and np.isfinite(losses[-1])
+
+
+@pytest.mark.slow
 def test_cli_train_c3d_scheduler_and_packed(tmp_path):
     """CLI vertical with the round-3 flags: packed feed + cosine schedule +
     split encoder/decoder LRs reach a finite loss."""
