@@ -341,10 +341,18 @@ def main(argv=None) -> int:
 
     if args.cmd == "score":
         # host-only numpy path — keep it usable with no device/backend at all
+        import math
+
         from dose_prediction_tpu.evaluation.metrics import score_prediction_dirs
 
         dose_dif, dvh_dif, metric_means = score_prediction_dirs(
             args.pred_dir, args.gt_dir)
+        if math.isnan(dose_dif):
+            print("score: no scorable patients — check that <pred-dir> holds "
+                  "<patient_id>/dose.nii.gz and <gt-dir> (a plain directory, "
+                  "not a glob) holds matching <patient_id>/ folders with "
+                  "dose.nii.gz + possible_dose_mask.nii.gz", file=sys.stderr)
+            return 1
         print(json.dumps({"dose_score": dose_dif, "dvh_score": dvh_dif,
                           "metrics": metric_means}, indent=2))
         return 0
@@ -849,6 +857,13 @@ def main(argv=None) -> int:
     if args.cmd == "tune":
         from dose_prediction_tpu.train.tune import ASHAScheduler, run_search
 
+        if args.mesh and args.max_concurrent > 1:
+            raise SystemExit(
+                "--mesh does not compose with --max-concurrent > 1: "
+                "concurrent trials parallelize one-per-device, while a mesh "
+                "spans devices — together they contend for the same chips. "
+                "Drop one of the flags (a mesh per trial is fine with "
+                "--max-concurrent 1).")
         train_ds = OpenKBPDataset(args.data, size=args.size)
         val_ds = OpenKBPDataset(args.val_data, size=args.size) if args.val_data else train_ds
         shape = train_ds.patients[0].ct.shape

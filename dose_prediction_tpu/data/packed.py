@@ -103,6 +103,20 @@ def packed_dose_batches(
     """
     from dose_prediction_tpu.data.pipeline import _local_row_range
 
+    if process_rows is not None:
+        # every rank must fail (or not) at the SAME point: an unpackable
+        # patient owned by one rank would otherwise raise only there while
+        # the peers keep feeding the collective — a cross-rank hang. The
+        # probe is cached on each Patient, so it costs one pack per patient
+        # per process lifetime.
+        patients = getattr(dataset, "patients", None)
+        if patients is not None:
+            bad = [p.patient_id for p in patients if pack_patient(p) is None]
+            if bad:
+                raise ValueError(
+                    f"dataset is not packable (e.g. {bad[:3]}); use the "
+                    f"float32 feed for multi-host runs of this dataset")
+
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
     if shuffle:

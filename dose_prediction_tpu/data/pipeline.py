@@ -262,21 +262,31 @@ def linked_batches(
         yield {"input": np.stack(inputs), "gt": np.stack(gts)}
 
 
-def host_to_global(sharding, a):
+def host_to_global(sharding, a, *, local_rows: bool = False):
     """One host array → a global jax.Array under ``sharding`` in a
     multi-process runtime. Row-sharded specs (dim 0 partitioned, the dp train
     feed) expect ``a`` to be the FULL global batch and contribute this
-    process's contiguous row slice; replicated/row-unsharded specs (the
-    full-volume validation feed) expect every process to pass the same full
-    array. Single-process: plain device_put."""
+    process's contiguous row slice — unless ``local_rows=True``, in which
+    case ``a`` is ONLY this process's rows (the builders' ``process_rows``
+    mode) and the global leading dim is ``rows × process_count``.
+    Replicated/row-unsharded specs (the full-volume validation feed) expect
+    every process to pass the same full array. Single-process: plain
+    device_put."""
     a = np.asarray(a)
     if jax.process_count() == 1:
         return jax.device_put(a, sharding)
     spec = getattr(sharding, "spec", None) or ()
     row_sharded = len(spec) > 0 and spec[0] is not None
     if not row_sharded:
+        if local_rows:
+            raise ValueError(
+                "local_rows needs a batch-sharded spec; replicated feeds "
+                "must ship full batches")
         return jax.make_array_from_process_local_data(sharding, a, a.shape)
     num, pid = jax.process_count(), jax.process_index()
+    if local_rows:
+        global_shape = (a.shape[0] * num,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, a, global_shape)
     if a.shape[0] % num:
         raise ValueError(f"global batch {a.shape[0]} must divide over "
                          f"{num} processes")
@@ -308,24 +318,9 @@ def device_prefetch(iterator: Iterator, *, size: int = 2,
     def put(batch):
         if sharding is not None:
             if multiprocess:
-                if local_rows:
-                    num = jax.process_count()
-                    spec = getattr(sharding, "spec", None) or ()
-                    if not (len(spec) > 0 and spec[0] is not None):
-                        raise ValueError(
-                            "local_rows needs a batch-sharded spec; the "
-                            "validation (replicated) feed must ship full "
-                            "batches")
-
-                    def shard(a):
-                        a = np.asarray(a)
-                        global_shape = (a.shape[0] * num,) + a.shape[1:]
-                        return jax.make_array_from_process_local_data(
-                            sharding, a, global_shape)
-
-                    return jax.tree.map(shard, batch)
-                return jax.tree.map(lambda a: host_to_global(sharding, a),
-                                    batch)
+                return jax.tree.map(
+                    lambda a: host_to_global(sharding, a,
+                                             local_rows=local_rows), batch)
             return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 

@@ -142,7 +142,8 @@ def score_prediction_dirs(prediction_dir: str, gt_dir: str):
         pred_path = os.path.join(prediction_dir, patient_id, "dose.nii.gz")
         gt_path = os.path.join(gt_dir, patient_id, "dose.nii.gz")
         mask_path = os.path.join(gt_dir, patient_id, "possible_dose_mask.nii.gz")
-        if not (os.path.exists(pred_path) and os.path.exists(gt_path)):
+        if not (os.path.exists(pred_path) and os.path.exists(gt_path)
+                and os.path.exists(mask_path)):
             continue
         pred = read_nifti(pred_path).data
         gt = read_nifti(gt_path).data

@@ -96,24 +96,25 @@ def make_pyfer_eval_step(model):
         )
         pred = preds_b[0]
         gt = batch["gt"]
-        loss = L.gen_loss(pred, gt, mode="val")
         mask = gt[..., 1:2]
         post = postprocess_prediction_jax(pred, mask)
-        score = dose_score_jax(post, 70.0 * gt[..., 0:1], mask)
-        out = {"val_loss": loss, "dose_score": score, "prediction": post}
         # batched validation (a dp mesh scores several patients per program):
         # per-sample metrics, reduced with the pad-row validity weights to
-        # REPLICATED scalars — safe to read on every host of a multi-host run
+        # REPLICATED scalars — safe to read on every host of a multi-host
+        # run. This trace returns ONLY the scalars: the full-volume
+        # prediction is dead weight on the hot validation path.
         valid = batch.get("valid")
         if valid is not None:
             v = valid.astype(jnp.float32)
             per_loss = L.masked_l1_per_sample(pred, gt[..., 0:1], mask)
             per_score = L.masked_l1_per_sample(post, 70.0 * gt[..., 0:1], mask)
             n = jnp.maximum(jnp.sum(v), 1.0)
-            out["val_loss_mean"] = jnp.sum(per_loss * v) / n
-            out["dose_score_mean"] = jnp.sum(per_score * v) / n
-            out["n_valid"] = jnp.sum(v)
-        return out
+            return {"val_loss_mean": jnp.sum(per_loss * v) / n,
+                    "dose_score_mean": jnp.sum(per_score * v) / n,
+                    "n_valid": jnp.sum(v)}
+        loss = L.gen_loss(pred, gt, mode="val")
+        score = dose_score_jax(post, 70.0 * gt[..., 0:1], mask)
+        return {"val_loss": loss, "dose_score": score, "prediction": post}
 
     return step
 

@@ -285,10 +285,16 @@ def _sliding_val_sweep(run, variables, val_ds, val_loss_fn,
     from dose_prediction_tpu.infer.pipeline import pipeline_map
 
     scores, vlosses = [], []
+    # multi-host lockstep sweeps need UNCOMMITTED (numpy) inputs — see
+    # TranSegTrainer.validate
+    multiproc = jax.process_count() > 1
 
     def produce(p):
-        pred_dev = run(jnp.asarray(p.model_input[None]), variables)
-        return p, pred_dev, val_loss_fn(pred_dev, jnp.asarray(p.gt[None]))
+        x = np.ascontiguousarray(p.model_input[None], np.float32)
+        gt = np.ascontiguousarray(p.gt[None], np.float32)
+        pred_dev = run(x if multiproc else jnp.asarray(x), variables)
+        return p, pred_dev, val_loss_fn(
+            pred_dev, gt if multiproc else jnp.asarray(gt))
 
     def consume(staged):
         p, pred_dev, vloss = staged
@@ -959,9 +965,13 @@ class TranSegTrainer:
         return predict
 
     def _sw_run(self, sw_batch_size: int):
-        run = self._sw_runs.get(sw_batch_size)
+        # on a dp mesh the sharded engine ignores sw_batch_size (ALL windows
+        # form one sharded batch), so every size shares ONE cached program
+        sharded = self.mesh is not None and self.mesh.shape["data"] > 1
+        key = "sharded" if sharded else sw_batch_size
+        run = self._sw_runs.get(key)
         if run is None:
-            if self.mesh is not None and self.mesh.shape["data"] > 1:
+            if sharded:
                 # dp mesh: shard the WINDOW batch over the data axis — every
                 # replica sweeps a different slice of the window grid instead
                 # of idling behind one device's sw_batch loop (SURVEY §5.7
@@ -977,7 +987,7 @@ class TranSegTrainer:
                 run = make_sliding_window_fn(
                     self._predictor(), roi_size=self.crop,
                     sw_batch_size=sw_batch_size, out_channels=self.num_classes)
-            self._sw_runs[sw_batch_size] = run
+            self._sw_runs[key] = run
         return run
 
     def validate(self, val_ds: OpenKBPDataset, *, sw_batch_size: int = 4):
@@ -991,13 +1001,22 @@ class TranSegTrainer:
         val_loss_fn = self._val_loss_fn
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         dices, hds, vlosses = [], [], []
+        # multi-host: every process runs the sweep in lockstep on the global
+        # mesh. Inputs must stay UNCOMMITTED (plain numpy) — jnp.asarray pins
+        # them to one local device, which a global-mesh program rejects;
+        # numpy args are treated as replicated (every rank passes the same
+        # volume, which they do)
+        multiproc = jax.process_count() > 1
 
         def produce(p):
             # device work dispatched async; only labels (int) and the loss
             # scalar ever cross to the host
             gt_labels = np.asarray(p.oars_label_encoded)
-            logits = run(jnp.asarray(p.ct[None, ..., None]), variables)
-            vloss = val_loss_fn(logits, jnp.asarray(gt_labels[None], jnp.int32))
+            vol = np.ascontiguousarray(p.ct[None, ..., None], np.float32)
+            labels_in = gt_labels[None].astype(np.int32)
+            logits = run(vol if multiproc else jnp.asarray(vol), variables)
+            vloss = val_loss_fn(
+                logits, labels_in if multiproc else jnp.asarray(labels_in))
             return p, gt_labels, jnp.argmax(logits, axis=-1), vloss
 
         def consume(staged):

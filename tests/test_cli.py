@@ -103,6 +103,28 @@ def test_cli_score_directory_scoring(tmp_path):
     assert result["metrics"]  # per-metric gt/pred means present
 
 
+def test_cli_score_no_patients_errors(tmp_path):
+    """A layout mismatch must fail loudly (rc 1 + stderr hint), not print
+    NaN JSON with rc 0."""
+    (tmp_path / "preds").mkdir()
+    (tmp_path / "gt").mkdir()
+    from dose_prediction_tpu.cli.main import main
+
+    rc = main(["score", "--pred-dir", str(tmp_path / "preds"),
+               "--gt-dir", str(tmp_path / "gt")])
+    assert rc == 1
+
+
+def test_cli_tune_mesh_refuses_concurrent(tmp_path):
+    """A mesh per trial and one-trial-per-device concurrency contend for the
+    same chips — the CLI refuses the combination."""
+    from dose_prediction_tpu.cli.main import main
+
+    with pytest.raises(SystemExit, match="max-concurrent"):
+        main(["tune", "--data", str(tmp_path / "nope"), "--mesh", "auto",
+              "--max-concurrent", "2"])
+
+
 @pytest.mark.slow
 def test_cli_mesh_auto(tmp_path):
     """--mesh auto sizes the data axis to the runtime's device count (the

@@ -52,8 +52,11 @@ WORKER = textwrap.dedent("""
                       log_dir=work + "/logs")
     tr = TranSegTrainer(cfg, model=model, crop=(16, 16, 16))
     tr.fit(ds, val_ds=None, num_samples=2, resume=False)
+    # multihost validation: lockstep sliding-window sweep on the global mesh
+    # (uncommitted numpy inputs; the window batch shards over 'data')
+    dice, hd95, vloss = tr.validate(ds, sw_batch_size=2)
     print(f"RESULT pid={{pid}} loss={{float(tr.state.moving_loss):.6f}} "
-          f"step={{int(tr.state.step)}}", flush=True)
+          f"step={{int(tr.state.step)}} vloss={{vloss:.6f}}", flush=True)
 """).format(repo=str(REPO))
 
 
@@ -76,10 +79,12 @@ def test_two_process_seg_trainer_matches_single_process(tmp_path):
         assert p.returncode == 0, out
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
         parts = dict(kv.split("=") for kv in line.split()[1:])
-        results.append((float(parts["loss"]), int(parts["step"])))
+        results.append((float(parts["loss"]), int(parts["step"]),
+                        float(parts["vloss"])))
     assert results[0] == results[1]                   # replicas in lockstep
-    loss2p, step2p = results[0]
+    loss2p, step2p, vloss2p = results[0]
     assert np.isfinite(loss2p) and loss2p > 0.0
+    assert np.isfinite(vloss2p) and vloss2p > 0.0     # multihost val sweep ran
     assert step2p == 2                # 2 patients x 2 crops / global batch 2
 
     # single-process reference on a local dp=2 mesh, same config/seed: the
