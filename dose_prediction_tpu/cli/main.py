@@ -420,6 +420,8 @@ def main(argv=None) -> int:
         from dose_prediction_tpu.models import TranSeg
 
         kw = {"dtype": dtype} if dtype is not None else {}
+        # remat only matters for training; eval/infer parsers don't define it
+        kw["remat_blocks"] = getattr(args, "remat_blocks", False)
         if getattr(args, "model_size", "full") == "small":
             return TranSeg(out_ch=out_ch, feature_size=2, hidden_size=24,
                            mlp_dim=48, num_layers=4, num_heads=2,

@@ -52,6 +52,11 @@ class TranSeg(fnn.Module):
     # (nn/vit.py PatchEmbed3D.trained_grid); every other block is fully
     # convolutional. Enables dense full-volume serve without sliding windows.
     trained_grid: Any = None
+    # rematerialize each decoder stage during backprop (same per-block remat
+    # as models/dose_pyfer.py: the full-resolution multi-scale stages dominate
+    # activation memory; batch-4 96³ training OOMs by ~83 MB without it).
+    # Param structure is unchanged — checkpoints stay compatible.
+    remat_blocks: bool = False
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -85,12 +90,15 @@ class TranSeg(fnn.Module):
             unpatchify_tokens(hidden[i * 3], grid)
         )
         dec4 = unpatchify_tokens(z_final, grid)
-        dec3 = ModifiedUnetrUpBlock(fs * 8, act=self.act, multiS_conv=self.multiS_conv,
-                                    family=family, dtype=self.dtype, name="decoder5")(dec4, enc4, train)
-        dec2 = ModifiedUnetrUpBlock(fs * 4, act=self.act, multiS_conv=self.multiS_conv,
-                                    family=family, dtype=self.dtype, name="decoder4")(dec3, enc3, train)
-        dec1 = ModifiedUnetrUpBlock(fs * 2, act=self.act, multiS_conv=self.multiS_conv,
-                                    family=family, dtype=self.dtype, name="decoder3")(dec2, enc2, train)
-        out = ModifiedUnetrUpBlock(fs, act=self.act, multiS_conv=self.multiS_conv,
-                                   family=family, dtype=self.dtype, name="decoder2")(dec1, enc1, train)
+        mod_cls = ModifiedUnetrUpBlock
+        if self.remat_blocks:
+            mod_cls = fnn.remat(ModifiedUnetrUpBlock, static_argnums=(3,))
+        dec3 = mod_cls(fs * 8, act=self.act, multiS_conv=self.multiS_conv,
+                       family=family, dtype=self.dtype, name="decoder5")(dec4, enc4, train)
+        dec2 = mod_cls(fs * 4, act=self.act, multiS_conv=self.multiS_conv,
+                       family=family, dtype=self.dtype, name="decoder4")(dec3, enc3, train)
+        dec1 = mod_cls(fs * 2, act=self.act, multiS_conv=self.multiS_conv,
+                       family=family, dtype=self.dtype, name="decoder3")(dec2, enc2, train)
+        out = mod_cls(fs, act=self.act, multiS_conv=self.multiS_conv,
+                      family=family, dtype=self.dtype, name="decoder2")(dec1, enc1, train)
         return ModifiedUnetOutBlock(self.out_ch, dtype=self.dtype, name="out")(out)

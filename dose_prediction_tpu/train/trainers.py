@@ -931,7 +931,8 @@ class TranSegTrainer:
         self.cfg = cfg
         self.crop = tuple(crop)
         self.num_classes = num_classes
-        self.model = model if model is not None else TranSeg(out_ch=num_classes)
+        self.model = model if model is not None else TranSeg(
+            out_ch=num_classes, remat_blocks=cfg.remat_blocks)
         variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(cfg.seed), jnp.zeros((1, *self.crop, 1), jnp.float32))
         params = variables["params"]

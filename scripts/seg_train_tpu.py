@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--crop", type=int, default=96)
     ap.add_argument("--feed-dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block decoder remat (TranSeg remat_blocks) — "
+                         "batch 4 at 96³ OOMs by ~83 MB without it")
     ap.add_argument("--platform", default=None,
                     help="force a jax backend (e.g. 'cpu' for a dry run; "
                          "jax.config-level so it beats the site hook)")
@@ -52,7 +55,8 @@ def main() -> int:
     from dose_prediction_tpu.models import TranSeg
     from dose_prediction_tpu.train.trainers import TrainConfig, TranSegTrainer
 
-    rec = {"batch": args.batch, "crop": args.crop, "ok": False}
+    rec = {"batch": args.batch, "crop": args.crop, "remat": args.remat,
+           "ok": False}
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp) / "data"
         pattern = make_synthetic_dataset(root, n_patients=2,
@@ -61,7 +65,8 @@ def main() -> int:
         cfg = TrainConfig(batch_size=args.batch, learning_rate=1e-4,
                           weight_decay=1e-5, ckpt_dir=str(Path(tmp) / "ckpt"),
                           log_dir=str(Path(tmp) / "logs"),
-                          feed_dtype=args.feed_dtype)
+                          feed_dtype=args.feed_dtype,
+                          remat_blocks=args.remat)
         trainer = TranSegTrainer(cfg, crop=(args.crop,) * 3)
 
         batches = seg_batches(ds, crop=(args.crop,) * 3, batch_size=args.batch,

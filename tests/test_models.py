@@ -81,6 +81,32 @@ def test_transeg_topology():
     assert y.shape == (1, 32, 32, 32, 8)
 
 
+def test_transeg_remat_blocks_checkpoint_compatible():
+    """remat_blocks must not change the param tree or the forward result —
+    a checkpoint trained either way restores into the other."""
+    x = jnp.ones((1, 32, 32, 32, 1)) * 0.1
+    kw = dict(out_ch=8, feature_size=4, hidden_size=48, mlp_dim=96,
+              num_layers=4, num_heads=2)
+    base = TranSeg(**kw)
+    remat = TranSeg(remat_blocks=True, **kw)
+    variables = base.init(jax.random.PRNGKey(0), x)
+    v2 = remat.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    y_base, _ = base.apply(variables, x, mutable=["batch_stats"])
+    y_remat, _ = remat.apply(variables, x, mutable=["batch_stats"])
+    assert jnp.allclose(y_base, y_remat, atol=1e-6)
+
+    # gradients flow through the remat'd decoder stages
+    def loss(params):
+        y, _ = remat.apply({**variables, "params": params}, x,
+                           mutable=["batch_stats"])
+        return jnp.mean(y ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 @pytest.mark.slow
 def test_hdunet_shapes():
     x = jnp.zeros((1, 16, 16, 16, 9))
