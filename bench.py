@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 from pathlib import Path
@@ -43,7 +42,6 @@ REPO = Path(__file__).resolve().parent
 # touching the live cache (point it at an empty dir → only the shipped
 # artifact entries are available).
 CACHE_DIR = Path(os.environ.get("DPT_CACHE_DIR", REPO / ".jax_cache"))
-SEED_DIR = REPO / "artifacts" / "serve_cache"
 # Last successful bench result, written on every good run. Included
 # (clearly labeled) in the error record when the device is unreachable so a
 # dead tunnel at bench time doesn't erase the round's measured numbers.
@@ -51,21 +49,13 @@ LAST_GOOD = REPO / "artifacts" / "last_bench.json"
 
 
 def seed_cache() -> dict:
-    """Copy shipped serve-program cache entries into the live compile cache.
-    Returns {"shipped": N, "seeded": copied, "already_present": skipped}."""
-    stats = {"shipped": 0, "seeded": 0, "already_present": 0}
-    if not SEED_DIR.is_dir():
-        return stats
-    CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    for src in SEED_DIR.glob("*-cache"):
-        stats["shipped"] += 1
-        dst = CACHE_DIR / src.name
-        if dst.exists():
-            stats["already_present"] += 1
-        else:
-            shutil.copyfile(src, dst)
-            stats["seeded"] += 1
-    return stats
+    """Copy shipped serve/train-program cache entries into the live compile
+    cache (shared implementation: core/bootstrap.py — the same seeding the
+    product CLI performs). Returns
+    {"shipped": N, "seeded": copied, "already_present": skipped}."""
+    from dose_prediction_tpu.core.bootstrap import seed_cache as _seed
+
+    return _seed(CACHE_DIR)
 
 
 def _device_watchdog(timeout_s: float = 900.0,
@@ -245,6 +235,9 @@ def main() -> None:
         "compile_s_stage2": round(compile_s2, 1),
         "compile_s_dense": round(compile_s_dense, 1),
         "aot": aot_used,
+        # provenance of the shipped executables that served (or failed to
+        # serve) this run: build date + jax version + chip per artifact
+        "aot_artifacts": A.artifact_manifest(),
         "cache": cache_stats,
         "device": jax.devices()[0].device_kind,
     }

@@ -22,6 +22,16 @@ from pathlib import Path
 _DEFAULT_LR = 0.0006130697604327541
 
 
+def resolve_optimizer(explicit, model_name) -> str:
+    """Per-model optimizer default: the reference trains the flagship with
+    bnb Adam8bit (train_light_pyfer.py:12,195) and every other trainer with
+    plain Adam/AdamW — so `--optimizer` unset means adam8bit for pyfer and
+    adamw otherwise. An explicit flag always wins."""
+    if explicit:
+        return explicit
+    return "adam8bit" if model_name == "pyfer" else "adamw"
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data", required=True, help="glob for patient dirs, e.g. 'data/pt_*'")
     p.add_argument("--val-data", default=None)
@@ -31,7 +41,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=_DEFAULT_LR)
     p.add_argument("--weight-decay", type=float, default=0.00016303111017674179)
-    p.add_argument("--optimizer", choices=["adamw", "adam8bit"], default="adamw")
+    p.add_argument("--optimizer", choices=["adamw", "adam8bit"], default=None,
+                   help="default: adam8bit for pyfer (the reference trains "
+                        "the flagship with bnb Adam8bit, "
+                        "train_light_pyfer.py:12,195), adamw otherwise")
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--seed", type=int, default=0)
@@ -269,6 +282,24 @@ def build_parser() -> argparse.ArgumentParser:
                          "source (default mirrors the reference's "
                          "strict=False surgery, dose_pyfer.py:394-407)")
 
+    op = sub.add_parser(
+        "openkbp-prepare",
+        help="convert the OFFICIAL OpenKBP CSV release (per-patient sparse "
+             "csv matrices) into the NIfTI layout train/eval consume "
+             "(data/openkbp_prepare.py). Pure host numpy; no device needed.")
+    op.add_argument("--csv-dir", required=True,
+                    help="root of the official release (holds pt_*/ dirs of "
+                         "ct.csv, dose.csv, masks, voxel_dimensions.csv)")
+    op.add_argument("--out-dir", required=True,
+                    help="output root; one <out-dir>/<patient_id>/ NIfTI dir "
+                         "per patient")
+    op.add_argument("--pattern", default="pt_*",
+                    help="patient-directory glob under --csv-dir")
+    op.add_argument("--ct-offset", type=float, default=0.0,
+                    help="added to CT values before writing (use -1024 if "
+                         "your release stores offset-unsigned CT instead of "
+                         "Hounsfield units; the training transform expects HU)")
+
     sc = sub.add_parser(
         "score",
         help="directory-based OpenKBP scoring: saved dose.nii.gz predictions "
@@ -332,6 +363,25 @@ def main(argv=None) -> int:
                       num_processes=args.num_processes,
                       process_id=args.process_id)
 
+    if args.cmd == "openkbp-prepare":
+        # host-only conversion — usable with no jax backend at all
+        from dose_prediction_tpu.data.openkbp_prepare import prepare_cohort
+
+        n = prepare_cohort(args.csv_dir, args.out_dir, pattern=args.pattern,
+                           ct_offset=args.ct_offset)
+        print(json.dumps({"patients_converted": n, "out_dir": args.out_dir}))
+        return 0
+
+    if args.cmd != "score":
+        # every other subcommand compiles XLA programs: enable the persistent
+        # compilation cache + seed it from the shipped artifacts BEFORE any
+        # compilation (core/bootstrap.py; a resumed `train` would otherwise
+        # pay the full minutes-long cold compile on every process start).
+        # 'score' stays host-only — it must work with no jax backend at all.
+        from dose_prediction_tpu.core.bootstrap import configure_compile_cache
+
+        configure_compile_cache()
+
     if args.cmd == "bench":
         import runpy
 
@@ -380,13 +430,14 @@ def main(argv=None) -> int:
         return {k: int(v) for k, v in
                 (item.split("=") for item in spec.split(","))}
 
-    def make_cfg() -> TrainConfig:
+    def make_cfg(model_name: str = None) -> TrainConfig:
         return TrainConfig(
             max_epochs=args.epochs, check_val=args.check_val,
             batch_size=args.batch_size, learning_rate=args.lr,
             weight_decay=args.weight_decay, ckpt_dir=args.ckpt_dir,
             log_dir=args.log_dir, seed=args.seed, max_steps=args.max_steps,
-            optimizer=getattr(args, "optimizer", "adamw"),
+            optimizer=resolve_optimizer(getattr(args, "optimizer", None),
+                                        model_name),
             delta1=getattr(args, "delta1", 10.0), delta2=getattr(args, "delta2", 8.0),
             freeze_net_a=not getattr(args, "no_freeze", False),
             mesh_shape=parse_mesh(getattr(args, "mesh", None)),
@@ -611,7 +662,7 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "train":
-        cfg = make_cfg()
+        cfg = make_cfg(args.model)
         if args.model == "transeg" and getattr(args, "private_data", False):
             from dose_prediction_tpu.data.private_seg import PrivateSegDataset
             from dose_prediction_tpu.train.trainers import TranSegTrainer
@@ -688,7 +739,7 @@ def main(argv=None) -> int:
             variables_from_checkpoint,
         )
 
-        tr = build_dose_trainer(model_name, make_cfg(), shape)
+        tr = build_dose_trainer(model_name, make_cfg(model_name), shape)
         raw = restore_checkpoint(args.ckpt)
         variables = variables_from_checkpoint(raw)
         if model_name in ("dosegan", "vitgan"):
@@ -875,7 +926,7 @@ def main(argv=None) -> int:
 
         def train_trial(config, report):
             tid = next(trial_counter)   # per-trial ckpt/log dirs (safe when concurrent)
-            cfg = make_cfg()
+            cfg = make_cfg("pyfer")
             cfg = type(cfg)(**{**cfg.__dict__,
                                "learning_rate": config["lr"],
                                "weight_decay": config["weight_decay"],
@@ -913,7 +964,7 @@ def main(argv=None) -> int:
         ds = OpenKBPDataset(args.data, size=args.size, keep_structures=True)
 
         def make_trainer(fold, ckpt_dir):
-            cfg = make_cfg()
+            cfg = make_cfg("pyfer")
             cfg = type(cfg)(**{**cfg.__dict__, "ckpt_dir": ckpt_dir})
             return PyferTrainer(cfg, model=pyfer_model(),
                                 example_shape=(1, *ds.patients[0].ct.shape, 9))

@@ -51,9 +51,105 @@ def aot_dir() -> Path:
     return Path(os.environ.get("DPT_AOT_DIR", _DEFAULT_DIR))
 
 
+def build_info() -> dict:
+    """Versions + chip the CURRENT process would build artifacts against.
+    Recorded in every artifact's sidecar at build time, and compared against
+    at load time so a rejection can say exactly WHAT is stale."""
+    import jax
+
+    try:
+        device_kind = jax.devices()[0].device_kind
+    except Exception:
+        device_kind = "unknown"
+    libtpu = "none"
+    try:
+        import importlib.metadata as im
+
+        for dist in ("libtpu", "libtpu-nightly"):
+            try:
+                libtpu = f"{dist} {im.version(dist)}"
+                break
+            except im.PackageNotFoundError:
+                continue
+    except Exception:
+        pass
+    import jaxlib
+
+    return {"jax": jax.__version__, "jaxlib": jaxlib.__version__,
+            "libtpu": libtpu, "device_kind": device_kind}
+
+
+def write_sidecar(pkl_path: Path, *, spec: Optional[dict] = None,
+                  extra: Optional[dict] = None) -> Path:
+    """Provenance sidecar next to an artifact: versions/chip it was built
+    for, build date, artifact size, and (for train artifacts) the full
+    graph-determining spec. Build scripts call this after writing the .pkl."""
+    import json
+    import time
+
+    pkl_path = Path(pkl_path)
+    record = {
+        "built": build_info(),
+        "built_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "size_bytes": pkl_path.stat().st_size,
+        "rebuild_with": ("scripts/build_train_aot.py" if spec
+                         else "scripts/build_serve_aot.py"),
+    }
+    if spec is not None:
+        record["spec"] = spec
+    if extra:
+        record.update(extra)
+    out = pkl_path.with_suffix(".json")
+    out.write_text(json.dumps(record, indent=2, sort_keys=True, default=str))
+    return out
+
+
+def read_sidecar(pkl_path: Path) -> Optional[dict]:
+    import json
+
+    try:
+        return json.loads(Path(pkl_path).with_suffix(".json").read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def artifact_manifest(directory: Optional[Path] = None) -> dict:
+    """{name: sidecar-summary} for every artifact in a directory — bench.py
+    embeds this in its JSON so a measurement records which artifact builds
+    served it."""
+    directory = aot_dir() if directory is None else Path(directory)
+    out = {}
+    for pkl in sorted(directory.glob("*.pkl")):
+        sc = read_sidecar(pkl) or {}
+        out[pkl.stem] = {"built_at": sc.get("built_at", "unknown"),
+                         "jax": sc.get("built", {}).get("jax", "unknown"),
+                         "device_kind": sc.get("built", {}).get("device_kind",
+                                                                "unknown"),
+                         "size_mb": round(pkl.stat().st_size / 1e6, 1)}
+    return out
+
+
+def _staleness_hint(name: str, path: Path) -> str:
+    """One-line 'built for X, you're on Y' diagnosis from the sidecar, so a
+    silent minutes-long fallback compile is at least explained."""
+    sc = read_sidecar(path)
+    if sc is None:
+        return (f"no provenance sidecar for {path.name}; rebuild with "
+                f"scripts/build_serve_aot.py to record one")
+    built = sc.get("built", {})
+    now = build_info()
+    diffs = [f"{k}: built for {built.get(k, '?')}, running {now[k]}"
+             for k in ("jax", "jaxlib", "libtpu", "device_kind")
+             if built.get(k) != now[k]]
+    what = "; ".join(diffs) if diffs else "versions match (graph drift?)"
+    return (f"artifact built {sc.get('built_at', '?')} — {what}. Rebuild "
+            f"with {sc.get('rebuild_with', 'scripts/build_serve_aot.py')}")
+
+
 def load_aot(name: str):
     """Deserialize a shipped serve executable; None when absent, disabled, or
-    incompatible with the running jax/libtpu (callers fall back to jit)."""
+    incompatible with the running jax/libtpu (callers fall back to jit, and
+    the sidecar-based staleness hint says why + how to rebuild)."""
     import pickle
 
     path = aot_dir() / f"{name}.pkl"
@@ -66,8 +162,8 @@ def load_aot(name: str):
             payload = pickle.load(f)
         return se.deserialize_and_load(*payload)
     except Exception as e:  # stale jax/libtpu or foreign topology: recompile
-        print(f"[aot] load failed for {name}: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        print(f"[aot] load failed for {name}: {type(e).__name__}: {e}\n"
+              f"[aot] {_staleness_hint(name, path)}", file=sys.stderr)
         return None
 
 
@@ -114,13 +210,15 @@ class LazyAOTStage:
     and silently falls back to (and stays on) the jit path on any failure.
 
     Used by make_cascade_fn(aot=True) where no example inputs exist at build
-    time — the first patient's volume is the guarded call.
+    time — the first patient's volume is the guarded call — and by the
+    trainers for spec-checked train-step artifacts (``aot`` pre-loaded by
+    load_train_aot, which refuses config mismatches before this point).
     """
 
-    def __init__(self, name: str, jit_fn):
+    def __init__(self, name: str, jit_fn, aot=None):
         self.name = name
         self.jit_fn = jit_fn
-        self._aot = load_aot(name)
+        self._aot = load_aot(name) if aot is None else aot
         self.used_aot: Optional[bool] = None  # unknown until first call
 
     def __call__(self, *args):
@@ -138,3 +236,131 @@ class LazyAOTStage:
                 self._aot = None
         self.used_aot = False
         return self.jit_fn(*args)
+
+
+# -- train-step AOT artifacts -------------------------------------------------
+# A train-step executable bakes the loss weights, learning rate and weight
+# decay into the graph as compile-time constants: a shape-compatible artifact
+# built for a DIFFERENT config would load, pass the guarded call, and then
+# silently train with the wrong hyperparameters. So train artifacts are keyed
+# by a canonical spec of every graph-determining knob (model fields + loop
+# config + batch geometry) and the loader refuses anything whose sidecar spec
+# is not an exact match. Built by scripts/build_train_aot.py on the target
+# hardware; DPT_TRAIN_AOT_DIR overrides the directory.
+
+_DEFAULT_TRAIN_DIR = Path(__file__).resolve().parents[2] / "artifacts" / "train_aot"
+
+
+def train_aot_dir() -> Path:
+    return Path(os.environ.get("DPT_TRAIN_AOT_DIR", _DEFAULT_TRAIN_DIR))
+
+
+def canonical_spec(spec: dict) -> str:
+    """Deterministic JSON encoding used both for hashing and for the sidecar
+    equality check (tuples/lists unify through JSON; dtypes via default=str)."""
+    import json
+
+    return json.dumps(spec, sort_keys=True, default=str,
+                      separators=(",", ":"))
+
+
+def spec_key(spec: dict) -> str:
+    import hashlib
+
+    return hashlib.sha256(canonical_spec(spec).encode()).hexdigest()[:12]
+
+
+def model_spec(model) -> dict:
+    """JSON-able dict of a flax module's constructor fields (flax modules are
+    dataclasses) — every field shapes the traced graph."""
+    import dataclasses
+
+    out = {}
+    for f in dataclasses.fields(model):
+        if f.name in ("parent", "name"):
+            continue
+        v = getattr(model, f.name)
+        out[f.name] = v if isinstance(v, (int, float, bool, str, type(None))) \
+            else (list(v) if isinstance(v, (tuple, list)) else str(v))
+    return out
+
+
+def train_spec(kind: str, cfg, model, example_shape) -> dict:
+    """The full graph-determining configuration of a trainer's train step.
+    cfg is a train.trainers.TrainConfig; fields that only drive the host loop
+    (epochs, ckpt dirs, seeds, val cadence) are deliberately excluded."""
+    return {
+        "kind": kind,
+        "model": type(model).__name__,
+        "model_config": model_spec(model),
+        "example_shape": list(example_shape),
+        "batch_size": cfg.batch_size,
+        "feed_dtype": cfg.feed_dtype,
+        "optimizer": cfg.optimizer,
+        "learning_rate": cfg.learning_rate,
+        "weight_decay": cfg.weight_decay,
+        "delta1": cfg.delta1,
+        "delta2": cfg.delta2,
+        "freeze_net_a": cfg.freeze_net_a,
+        "grad_accum": cfg.grad_accum,
+        "lr_encoder": cfg.lr_encoder,
+        "lr_decoder": cfg.lr_decoder,
+        "scheduler": cfg.scheduler,
+    }
+
+
+def train_artifact_path(spec: dict) -> Path:
+    return train_aot_dir() / f"{spec['kind']}-{spec_key(spec)}.pkl"
+
+
+def load_train_aot(spec: dict):
+    """Spec-checked train-step executable, or None. The sidecar must exist
+    and its recorded spec must match EXACTLY (see module note above — this is
+    a correctness gate, not just a compatibility one). Deserialization
+    failures degrade with the staleness hint like the serve artifacts."""
+    import pickle
+
+    path = train_artifact_path(spec)
+    if not path.exists() or os.environ.get("DPT_NO_AOT") == "1":
+        return None
+    sc = read_sidecar(path)
+    if sc is None or "spec" not in sc:
+        print(f"[aot] {path.name}: no spec sidecar — refusing to use a train "
+              f"artifact whose build config is unknown (it may bake in "
+              f"different hyperparameters); rebuild with "
+              f"scripts/build_train_aot.py", file=sys.stderr)
+        return None
+    if canonical_spec(sc["spec"]) != canonical_spec(spec):
+        print(f"[aot] {path.name}: built for a different train config — "
+              f"refusing (executables bake in lr/wd/loss weights). "
+              f"Rebuild with scripts/build_train_aot.py", file=sys.stderr)
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        return se.deserialize_and_load(*payload)
+    except Exception as e:
+        print(f"[aot] train artifact load failed for {path.name}: "
+              f"{type(e).__name__}: {e}\n"
+              f"[aot] {_staleness_hint(path.stem, path)}", file=sys.stderr)
+        return None
+
+
+def maybe_wrap_train_step(kind: str, cfg, model, example_shape, jit_step):
+    """Trainer hook: wrap a jit train step in a LazyAOTStage when a matching
+    shipped executable exists. Single-device only (mesh runs compile); every
+    mismatch path degrades to the jit step. Costs one stat() when no artifact
+    matches — safe to call from every trainer construction (tests, HPO)."""
+    if cfg.mesh_shape:
+        return jit_step
+    spec = train_spec(kind, cfg, model, example_shape)
+    if not train_artifact_path(spec).exists():
+        return jit_step
+    prog = load_train_aot(spec)
+    if prog is None:
+        return jit_step
+    print(f"[aot] using shipped train-step executable "
+          f"{train_artifact_path(spec).name}", file=sys.stderr)
+    return LazyAOTStage(f"train:{kind}", jit_step, aot=prog)

@@ -464,6 +464,12 @@ class PyferTrainer:
         self.train_step = STEP.make_pyfer_train_step(
             self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
             freeze=cfg.freeze_net_a, packed=cfg.feed_dtype == "packed")
+        # spec-checked shipped train-step executable (skips the minutes-long
+        # cold compile on a fresh runtime session; exact-config match only)
+        from dose_prediction_tpu.infer import aot as AOT
+
+        self.train_step = AOT.maybe_wrap_train_step(
+            "pyfer", cfg, self.model, example_shape, self.train_step)
         self.eval_step = STEP.make_pyfer_eval_step(self.model)
         self.logger = MetricLogger(cfg.log_dir, run_name="pyfer")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="mean_dose_score", mode="max")
@@ -945,6 +951,10 @@ class TranSegTrainer:
         self.state, self.mesh, self.batch_sharding, self.val_sharding = \
             _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
         self.train_step = STEP.make_transeg_train_step(self.model, self.tx)
+        from dose_prediction_tpu.infer import aot as AOT
+
+        self.train_step = AOT.maybe_wrap_train_step(
+            "transeg", cfg, self.model, (1, *self.crop, 1), self.train_step)
         self.logger = MetricLogger(cfg.log_dir, run_name="transeg")
         self.ckpt = C.CheckpointManager(cfg.ckpt_dir, monitor="val_loss", mode="min")
         # validation programs built ONCE per sw_batch_size: a fresh jit closure

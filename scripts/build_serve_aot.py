@@ -68,6 +68,8 @@ def main() -> None:
     seg_dense = TranSeg(out_ch=8, dtype=dtype, trained_grid=(6, 6, 6))
     stage1_d, _ = make_cascade_stages(seg_dense, dose, seg_mode="dense")
 
+    from dose_prediction_tpu.infer import aot as A
+
     def build(name, fn, args):
         t = time.time()
         compiled = jax.jit(fn).lower(*args).compile()
@@ -76,7 +78,10 @@ def main() -> None:
         out = AOT_DIR / f"{name}.pkl"
         with open(out, "wb") as f:
             pickle.dump(payload, f)
-        log(f"{name}: wrote {out.stat().st_size / 1e6:.1f} MB")
+        # provenance sidecar: versions/chip/build date, read back by the
+        # loader's staleness hint and by bench.py's artifact manifest
+        A.write_sidecar(out, extra={"shipped_config": A.SHIPPED})
+        log(f"{name}: wrote {out.stat().st_size / 1e6:.1f} MB (+ sidecar)")
         return compiled
 
     c1 = build("stage1", stage1, (seg_vars, ct, ptv))

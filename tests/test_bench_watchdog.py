@@ -20,10 +20,19 @@ def test_watchdog_healthy_cpu_probe_returns():
     bench._device_watchdog(timeout_s=90.0, platform="cpu")  # returns or raises
 
 
-def test_watchdog_subprocess_failure_emits_structured_record(monkeypatch, capfd):
+def test_watchdog_subprocess_failure_emits_structured_record(
+        monkeypatch, capfd, tmp_path):
     """A probe-process FAILURE (not a hang) is retried once, then reported as
     a structured JSON line labeled distinctly from 'unresponsive', with the
-    last good measurement attached."""
+    last good measurement attached. Hermetic: LAST_GOOD points at a tmp file
+    holding a known sentinel, so the assertion verifies the attached record's
+    CONTENT, not just the attachment plumbing (a corrupted persisted value
+    would surface here)."""
+    sentinel = {"metric": "cascade_128_p50_latency", "value": 0.123456,
+                "unit": "s/patient", "measured_at": "2026-01-01T00:00:00"}
+    last_good = tmp_path / "last_bench.json"
+    last_good.write_text(json.dumps(sentinel))
+    monkeypatch.setattr(bench, "LAST_GOOD", last_good)
     monkeypatch.setattr(bench.sys, "executable", "/bin/false")
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)  # skip the retry wait
 
@@ -38,11 +47,4 @@ def test_watchdog_subprocess_failure_emits_structured_record(monkeypatch, capfd)
     rec = json.loads(out)
     assert rec["value"] is None
     assert "not a hang" in rec["error"]
-    # the persisted last-good measurement rides along so a dead device at
-    # bench time doesn't erase the round's numbers; compare against the file
-    # itself (a live bench run may have refreshed it since the last commit)
-    persisted = json.loads(
-        (Path(bench.__file__).parent / "artifacts" / "last_bench.json").read_text()
-    )
-    assert rec["last_good_run"]["value"] == pytest.approx(persisted["value"])
-    assert rec["last_good_run"]["value"] > 0
+    assert rec["last_good_run"] == sentinel
