@@ -71,8 +71,13 @@ def read_nifti(path: Union[str, Path], *, prefer_native: bool = True) -> NiftiIm
             data, spacing, affine = out
             return NiftiImage(data=data, affine=affine,
                               spacing=tuple(abs(s) for s in spacing))
-    with _open_maybe_gz(path, "rb") as f:
-        raw = f.read()
+    try:
+        with _open_maybe_gz(path, "rb") as f:
+            raw = f.read()
+    except (EOFError, OSError, gzip.BadGzipFile) as e:
+        # truncated/corrupt gzip streams raise EOFError / BadGzipFile from
+        # the zlib layer; surface ONE exception type for malformed inputs
+        raise ValueError(f"{path}: corrupt or truncated gzip stream ({e})") from e
     if len(raw) < HEADER_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header")
     sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
@@ -89,19 +94,40 @@ def read_nifti(path: Union[str, Path], *, prefer_native: bool = True) -> NiftiIm
 
     dim = struct.unpack_from(endian + "8h", raw, 40)
     ndim = dim[0]
-    shape = tuple(int(d) for d in dim[1: 1 + max(ndim, 1)])
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: invalid NIfTI rank dim[0]={ndim}")
+    shape = tuple(int(d) for d in dim[1: 1 + ndim])
+    if any(d < 1 for d in shape):
+        raise ValueError(f"{path}: non-positive dimension in {shape}")
+    # scalar volumes only: squeeze trailing singletons (a (128³,1) file is a
+    # 3D volume); anything genuinely >3D has no meaning to this pipeline
+    while len(shape) > 3 and shape[-1] == 1:
+        shape = shape[:-1]
+    if len(shape) > 3:
+        raise ValueError(f"{path}: only scalar 3D volumes supported, got {shape}")
     datatype = struct.unpack_from(endian + "h", raw, 70)[0]
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
     np_dtype = np.dtype(_DTYPES[datatype]).newbyteorder(endian)
     pixdim = struct.unpack_from(endian + "8f", raw, 76)
-    vox_offset = int(struct.unpack_from(endian + "f", raw, 108)[0])
+    vox_offset_f = struct.unpack_from(endian + "f", raw, 108)[0]
+    # vox_offset is a FLOAT field: reject NaN/negative/past-EOF before use
+    if not (HEADER_SIZE <= vox_offset_f <= len(raw)):
+        raise ValueError(f"{path}: invalid vox_offset {vox_offset_f}")
+    vox_offset = int(vox_offset_f)
     scl_slope = struct.unpack_from(endian + "f", raw, 112)[0]
     scl_inter = struct.unpack_from(endian + "f", raw, 116)[0]
+    if not (np.isfinite(scl_slope) and np.isfinite(scl_inter)):
+        scl_slope, scl_inter = 1.0, 0.0  # nibabel semantics: ignore bad scl
     sform_code = struct.unpack_from(endian + "h", raw, 254)[0]
     qform_code = struct.unpack_from(endian + "h", raw, 252)[0]
 
     count = int(np.prod(shape)) if shape else 0
+    if len(raw) - vox_offset < count * np_dtype.itemsize:
+        raise ValueError(
+            f"{path}: voxel data truncated — header claims {shape} "
+            f"({count * np_dtype.itemsize} bytes) but only "
+            f"{len(raw) - vox_offset} bytes follow vox_offset")
     data = np.frombuffer(raw, dtype=np_dtype, count=count, offset=vox_offset)
     # NIfTI voxels are Fortran-ordered: first index fastest
     data = data.reshape(shape, order="F")

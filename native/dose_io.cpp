@@ -50,6 +50,11 @@ bool parse_header(const uint8_t* raw, size_t len, NiftiHeader* h) {
   int32_t sizeof_hdr;
   std::memcpy(&sizeof_hdr, raw, 4);
   if (sizeof_hdr != kHeaderSize) return false;  // big-endian unsupported here
+  // magic "n+1\0" / "ni1\0": without this a random 348-byte blob whose first
+  // word happens to be 348 would "parse" (data/nifti.py checks it too)
+  if (!((raw[344] == 'n' && raw[345] == '+' && raw[346] == '1') ||
+        (raw[344] == 'n' && raw[345] == 'i' && raw[346] == '1')))
+    return false;
   std::memcpy(h->dim, raw + 40, 16);
   std::memcpy(&h->datatype, raw + 70, 2);
   std::memcpy(h->pixdim, raw + 76, 32);
@@ -183,11 +188,28 @@ class ThreadPool {
   bool stop_;
 };
 
+// Validated voxel count: -1 on a lying header (bad rank, non-positive dims,
+// overflow) so callers fail cleanly instead of sizing buffers from garbage.
 int64_t voxel_count(const NiftiHeader& h) {
   int nd = h.dim[0];
+  if (nd < 1 || nd > 7) return -1;
   int64_t n = 1;
-  for (int i = 1; i <= nd && i < 8; ++i) n *= h.dim[i];
+  for (int i = 1; i <= nd; ++i) {
+    if (h.dim[i] < 1) return -1;
+    if (n > (int64_t(1) << 40) / h.dim[i]) return -1;  // > 1 Tvoxel: lying
+    n *= h.dim[i];
+  }
   return n;
+}
+
+int itemsize_of(int16_t datatype) {
+  switch (datatype) {
+    case 2: case 256: return 1;
+    case 4: case 512: return 2;
+    case 8: case 16: return 4;
+    case 64: return 8;
+    default: return 0;
+  }
 }
 
 // Core single-file load: gunzip → parse → convert to f32 into dst (caller
@@ -199,9 +221,22 @@ int load_volume_f32(const char* path, float* dst, int64_t capacity,
   NiftiHeader h;
   if (!parse_header(raw.data(), raw.size(), &h)) return -2;
   int64_t n = voxel_count(h);
+  if (n < 0) return -2;
   if (n > capacity) return -3;
+  // vox_offset is a float in the header: reject NaN/negative/absurd BEFORE
+  // the size_t cast (which would be UB), then bound the voxel payload — a
+  // header claiming more voxels than the file holds must fail, not read
+  // past the inflated buffer and return success over garbage
+  if (!(h.vox_offset >= kHeaderSize) || h.vox_offset > 1e12f) return -4;
   size_t offset = static_cast<size_t>(h.vox_offset);
   if (raw.size() < offset) return -4;
+  int isz = itemsize_of(h.datatype);
+  if (isz == 0) return -5;
+  if (raw.size() - offset < static_cast<size_t>(n) * isz) return -4;
+  if (!std::isfinite(h.scl_slope) || !std::isfinite(h.scl_inter)) {
+    h.scl_slope = 1.0f;  // nibabel semantics: ignore bad scl fields
+    h.scl_inter = 0.0f;  // (data/nifti.py does the same)
+  }
   const uint8_t* data = raw.data() + offset;
   switch (h.datatype) {
     case 2:   convert_to_f32<uint8_t>(data, dst, n, h.scl_slope, h.scl_inter); break;
@@ -260,6 +295,7 @@ int dose_io_probe(const char* path, int64_t* shape_out, float* spacing_out) {
   if (!gunzip_file(path, &raw)) return -1;
   NiftiHeader h;
   if (!parse_header(raw.data(), raw.size(), &h)) return -2;
+  if (voxel_count(h) < 0) return -2;  // lying dims: don't size buffers from it
   for (int i = 0; i < 3; ++i) {
     shape_out[i] = (h.dim[0] >= i + 1) ? h.dim[i + 1] : 1;
     spacing_out[i] = h.pixdim[i + 1];
