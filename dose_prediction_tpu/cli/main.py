@@ -129,6 +129,13 @@ def build_parser() -> argparse.ArgumentParser:
                     default="seg", help="TranSeg conv-block flavor: 'seg' "
                     "(Models/, IN), 'old' (OldModels TRANSEG, BatchNorm), "
                     "'ablation' (base_blocks_ablation)")
+    tr.add_argument("--k7-mode", choices=["dense", "separable"],
+                    default="dense",
+                    help="seg task: 'separable' trains the 1-D-chain k7 "
+                         "decoder variant (343→21 taps/conv — the seg-sweep "
+                         "latency lever; warm-startable from a dense "
+                         "checkpoint via nn/separable.py). 'dense' = "
+                         "reference parity")
     tr.add_argument("--private-data", action="store_true",
                     help="seg task: treat --data as the private 13-OAR head "
                          "dataset (fixed 16-patient val split, "
@@ -178,6 +185,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="0 = plain MONAI UNETR, 1 = TranSeg")
     se.add_argument("--block-family", choices=["seg", "old", "ablation"],
                     default="seg")
+    se.add_argument("--k7-mode", choices=["dense", "separable"],
+                    default="dense",
+                    help="the decoder k7 flavor the checkpoint was trained "
+                         "with (see train --k7-mode)")
     se.add_argument("--sw-batch", type=int, default=4)
     se.add_argument("--roi", type=int, default=96,
                     help="sliding-window ROI the checkpoint was trained at")
@@ -203,6 +214,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="TranSeg conv-block flavor of the seg checkpoint "
                           "('old' = what import-torch produces for reference "
                           "mode_model=1 sources)")
+    inf.add_argument("--k7-mode", choices=["dense", "separable"],
+                     default="dense",
+                     help="decoder k7 flavor of the seg checkpoint")
     inf.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
                      default="float32",
                      help="'bfloat16' = TPU serving config: bf16 activations "
@@ -228,6 +242,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="TranSeg conv-block flavor of the seg checkpoint "
                          "('old' = what import-torch produces for reference "
                          "mode_model=1 sources)")
+    le.add_argument("--k7-mode", choices=["dense", "separable"],
+                    default="dense",
+                    help="decoder k7 flavor of the seg checkpoint")
     le.add_argument("--no-ivs", action="store_true")
     le.add_argument("--serve-dtype", choices=["float32", "bfloat16"],
                     default="float32",
@@ -473,6 +490,7 @@ def main(argv=None) -> int:
         kw = {"dtype": dtype} if dtype is not None else {}
         # remat only matters for training; eval/infer parsers don't define it
         kw["remat_blocks"] = getattr(args, "remat_blocks", False)
+        kw["k7_mode"] = getattr(args, "k7_mode", "dense")
         if getattr(args, "model_size", "full") == "small":
             return TranSeg(out_ch=out_ch, feature_size=2, hidden_size=24,
                            mlp_dim=48, num_layers=4, num_heads=2,

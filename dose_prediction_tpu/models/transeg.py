@@ -57,6 +57,12 @@ class TranSeg(fnn.Module):
     # activation memory; batch-4 96³ training OOMs by ~83 MB without it).
     # Param structure is unchanged — checkpoints stay compatible.
     remat_blocks: bool = False
+    # 'separable' replaces every decoder k7 conv with a linear 1-D chain
+    # (343 → 21 taps; the structural attack on the measured k7 sweep
+    # ceiling). A DIFFERENT architecture: train with it, or warm-start from
+    # a dense checkpoint via nn/separable.py (HOSVD shim) and fine-tune.
+    # Default 'dense' keeps reference parity.
+    k7_mode: str = "dense"
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -94,11 +100,15 @@ class TranSeg(fnn.Module):
         if self.remat_blocks:
             mod_cls = fnn.remat(ModifiedUnetrUpBlock, static_argnums=(3,))
         dec3 = mod_cls(fs * 8, act=self.act, multiS_conv=self.multiS_conv,
-                       family=family, dtype=self.dtype, name="decoder5")(dec4, enc4, train)
+                       family=family, k7_mode=self.k7_mode,
+                       dtype=self.dtype, name="decoder5")(dec4, enc4, train)
         dec2 = mod_cls(fs * 4, act=self.act, multiS_conv=self.multiS_conv,
-                       family=family, dtype=self.dtype, name="decoder4")(dec3, enc3, train)
+                       family=family, k7_mode=self.k7_mode,
+                       dtype=self.dtype, name="decoder4")(dec3, enc3, train)
         dec1 = mod_cls(fs * 2, act=self.act, multiS_conv=self.multiS_conv,
-                       family=family, dtype=self.dtype, name="decoder3")(dec2, enc2, train)
+                       family=family, k7_mode=self.k7_mode,
+                       dtype=self.dtype, name="decoder3")(dec2, enc2, train)
         out = mod_cls(fs, act=self.act, multiS_conv=self.multiS_conv,
-                      family=family, dtype=self.dtype, name="decoder2")(dec1, enc1, train)
+                      family=family, k7_mode=self.k7_mode,
+                      dtype=self.dtype, name="decoder2")(dec1, enc1, train)
         return ModifiedUnetOutBlock(self.out_ch, dtype=self.dtype, name="out")(out)

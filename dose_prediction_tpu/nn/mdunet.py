@@ -46,6 +46,15 @@ class ConvBlockK(fnn.Module):
     """Two k×k×k convs, each followed by norm + act.
 
     norm: 'instance' (affine-free, torch default) or 'batch'.
+
+    ``separable=True`` replaces each dense k×k×k conv with a LINEAR chain of
+    three 1-D convs — (k,1,1) mixing C_in→C_out, then channel-preserving
+    (1,k,1) and (1,1,k) — before the same single norm+act. k³ taps become 3k
+    (k=7: 343 → 21, ~16× fewer FLOPs where C stays equal), the structural
+    attack on the measured seg-sweep k7 ceiling (docs/PERFORMANCE.md). NOT
+    function-equivalent to the dense block: it is a different (smaller)
+    hypothesis class — train with it, or warm-start from a dense checkpoint
+    via nn/separable.py::separabilize_variables (HOSVD projection shim).
     """
 
     features: int
@@ -53,21 +62,36 @@ class ConvBlockK(fnn.Module):
     dilation: int = 1
     norm: str = "instance"
     act: str = "relu"
+    separable: bool = False
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
-        pad = self.dilation * (self.kernel_size - 1) // 2
+        k = self.kernel_size
+        pad = self.dilation * (k - 1) // 2
         act = ops.get_act(self.act)
         for i in range(2):
-            x = Conv3D(
-                self.features,
-                self.kernel_size,
-                padding=pad,
-                dilation=self.dilation,
-                dtype=self.dtype,
-                name=f"conv{i}",
-            )(x)
+            if self.separable and k > 1:
+                # bias only on the last 1-D conv: the chain is linear, so one
+                # bias reproduces the dense conv's single bias exactly
+                x = Conv3D(self.features, (k, 1, 1), padding=(pad, 0, 0),
+                           dilation=self.dilation, use_bias=False,
+                           dtype=self.dtype, name=f"conv{i}_d")(x)
+                x = Conv3D(self.features, (1, k, 1), padding=(0, pad, 0),
+                           dilation=self.dilation, use_bias=False,
+                           dtype=self.dtype, name=f"conv{i}_h")(x)
+                x = Conv3D(self.features, (1, 1, k), padding=(0, 0, pad),
+                           dilation=self.dilation,
+                           dtype=self.dtype, name=f"conv{i}_w")(x)
+            else:
+                x = Conv3D(
+                    self.features,
+                    k,
+                    padding=pad,
+                    dilation=self.dilation,
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(x)
             if self.norm == "instance":
                 x = InstanceNorm(affine=False, name=f"norm{i}")(x)
             else:
@@ -87,16 +111,22 @@ class Conv31(fnn.Module):
     features: int
     act: str = "relu"
     family: str = "seg"
+    # 'dense' = reference parity (k7 = 343-tap convs); 'separable' = the
+    # 1-D-chain k7 variant (ConvBlockK.separable — different weights, needs
+    # training or the nn/separable.py warm-start shim)
+    k7_mode: str = "dense"
     dtype: Any = jnp.float32
 
     @fnn.compact
     def __call__(self, x, train: bool = True):
         act = ops.get_act(self.act)
+        sep = self.k7_mode == "separable"
         if self.family == "dose":
             # BatchNorm+ReLU inner blocks, bare 1×1 fuse (dose blocks_MDUNet.py:149-165)
             x3 = ConvBlockK(self.features, 3, norm="batch", act="relu",
                             dtype=self.dtype, name="branch3")(x, train)
             x7 = ConvBlockK(self.features, 7, norm="batch", act="relu",
+                            separable=sep,
                             dtype=self.dtype, name="branch7")(x, train)
             y = jnp.concatenate([x3, x7], axis=-1)
             return Conv3D(self.features, 1, padding=0, dtype=self.dtype, name="fuse")(y)
@@ -107,6 +137,7 @@ class Conv31(fnn.Module):
                             dtype=self.dtype, name="branch3")(x, train)
             x3 = ops.mish(InstanceNorm(affine=False, name="branch3_norm")(x3))
             x7 = ConvBlockK(self.features, 7, norm="batch", act="mish",
+                            separable=sep,
                             dtype=self.dtype, name="branch7")(x, train)
             x7 = act(InstanceNorm(affine=False, name="branch7_norm")(x7))
             y = jnp.concatenate([x3, x7], axis=-1)
@@ -117,7 +148,8 @@ class Conv31(fnn.Module):
         x3 = ConvBlockK(self.features, 3, act="relu", dtype=self.dtype, name="branch3")(x, train)
         x3 = act(InstanceNorm(affine=False, name="branch3_norm")(x3))
         # k7 branch: BatchNorm+ReLU inside, then IN + act
-        x7 = ConvBlockK(self.features, 7, norm="batch", act="relu", dtype=self.dtype, name="branch7")(x, train)
+        x7 = ConvBlockK(self.features, 7, norm="batch", act="relu",
+                        separable=sep, dtype=self.dtype, name="branch7")(x, train)
         x7 = act(InstanceNorm(affine=False, name="branch7_norm")(x7))
         y = jnp.concatenate([x3, x7], axis=-1)
         y = Conv3D(self.features, 1, padding=0, dtype=self.dtype, name="fuse")(y)

@@ -159,6 +159,9 @@ class ModifiedUnetrUpBlock(fnn.Module):
     act: str = "relu"
     multiS_conv: bool = True
     family: str = "seg"
+    # 'separable' swaps the Conv31 k7 branch for the 1-D-chain variant
+    # (nn/mdunet.py ConvBlockK.separable); only meaningful with multiS_conv
+    k7_mode: str = "dense"
     dtype: Any = jnp.float32
 
     @fnn.compact
@@ -167,9 +170,12 @@ class ModifiedUnetrUpBlock(fnn.Module):
         x = ConvTranspose3D(self.features, up, stride=up, use_bias=False,
                             dtype=self.dtype, name="transp_conv")(x)
         x = jnp.concatenate([x, skip], axis=-1)
-        cls = Conv31 if self.multiS_conv else DualDilatedBlock
-        return cls(self.features, act=self.act, family=self.family,
-                   dtype=self.dtype, name="conv_block")(x, train)
+        if self.multiS_conv:
+            return Conv31(self.features, act=self.act, family=self.family,
+                          k7_mode=self.k7_mode,
+                          dtype=self.dtype, name="conv_block")(x, train)
+        return DualDilatedBlock(self.features, act=self.act, family=self.family,
+                                dtype=self.dtype, name="conv_block")(x, train)
 
 
 class ModifiedUnetOutBlock(fnn.Module):
