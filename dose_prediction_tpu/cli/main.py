@@ -32,6 +32,44 @@ def resolve_optimizer(explicit, model_name) -> str:
     return "adam8bit" if model_name == "pyfer" else "adamw"
 
 
+def default_flagship_model(act="mish", multiS_conv=True, remat_blocks=False,
+                           small=False):
+    """The DosePyfer the CLI builds for `train pyfer` with bare flags.
+    Module-level so scripts/build_train_aot.py and the artifact-spec tests
+    construct the EXACT quick-start model (the train-AOT spec gate matches
+    on every model field — a drifted copy would make the shipped executables
+    silently unreachable). Defaults mirror the reference's tuned config
+    (act='mish', multiS_conv=True, train_light_pyfer.py:293-300)."""
+    from dose_prediction_tpu.models import DosePyfer
+
+    if small:
+        return DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                         feature_size=2, hidden_size=24, mlp_dim=48,
+                         num_layers=4, num_heads=2, act=act,
+                         multiS_conv=multiS_conv, remat_blocks=remat_blocks)
+    return DosePyfer(act=act, multiS_conv=multiS_conv,
+                     remat_blocks=remat_blocks)
+
+
+def default_seg_model(out_ch=8, block_family="seg", trained_grid=None,
+                      dtype=None, remat_blocks=False, k7_mode="dense",
+                      small=False):
+    """The TranSeg the CLI builds for `train transeg` with bare flags (same
+    single-construction-path contract as default_flagship_model)."""
+    from dose_prediction_tpu.models import TranSeg
+
+    kw = {"dtype": dtype} if dtype is not None else {}
+    kw["remat_blocks"] = remat_blocks
+    kw["k7_mode"] = k7_mode
+    if small:
+        return TranSeg(out_ch=out_ch, feature_size=2, hidden_size=24,
+                       mlp_dim=48, num_layers=4, num_heads=2,
+                       block_family=block_family, trained_grid=trained_grid,
+                       **kw)
+    return TranSeg(out_ch=out_ch, block_family=block_family,
+                   trained_grid=trained_grid, **kw)
+
+
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data", required=True, help="glob for patient dirs, e.g. 'data/pt_*'")
     p.add_argument("--val-data", default=None)
@@ -473,31 +511,24 @@ def main(argv=None) -> int:
             eta_min=getattr(args, "eta_min", 0.0),
         )
 
-    def pyfer_model(act="relu", multiS_conv=True):
-        from dose_prediction_tpu.models import DosePyfer
-
-        remat = getattr(args, "remat_blocks", False)
-        if getattr(args, "model_size", "full") == "small":
-            return DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
-                             feature_size=2, hidden_size=24, mlp_dim=48,
-                             num_layers=4, num_heads=2,
-                             act=act, multiS_conv=multiS_conv, remat_blocks=remat)
-        return DosePyfer(act=act, multiS_conv=multiS_conv, remat_blocks=remat)
+    def pyfer_model(act=None, multiS_conv=True):
+        # honor --act (parser default 'mish' = the reference's tuned value,
+        # train_light_pyfer.py:294); tune trials pass their sampled act
+        if act is None:
+            act = getattr(args, "act", "mish")
+        return default_flagship_model(
+            act=act, multiS_conv=multiS_conv,
+            remat_blocks=getattr(args, "remat_blocks", False),
+            small=getattr(args, "model_size", "full") == "small")
 
     def transeg_model(out_ch=8, block_family="seg", trained_grid=None, dtype=None):
-        from dose_prediction_tpu.models import TranSeg
-
-        kw = {"dtype": dtype} if dtype is not None else {}
         # remat only matters for training; eval/infer parsers don't define it
-        kw["remat_blocks"] = getattr(args, "remat_blocks", False)
-        kw["k7_mode"] = getattr(args, "k7_mode", "dense")
-        if getattr(args, "model_size", "full") == "small":
-            return TranSeg(out_ch=out_ch, feature_size=2, hidden_size=24,
-                           mlp_dim=48, num_layers=4, num_heads=2,
-                           block_family=block_family, trained_grid=trained_grid,
-                           **kw)
-        return TranSeg(out_ch=out_ch, block_family=block_family,
-                       trained_grid=trained_grid, **kw)
+        return default_seg_model(
+            out_ch=out_ch, block_family=block_family,
+            trained_grid=trained_grid, dtype=dtype,
+            remat_blocks=getattr(args, "remat_blocks", False),
+            k7_mode=getattr(args, "k7_mode", "dense"),
+            small=getattr(args, "model_size", "full") == "small")
 
     def unetr_model(out_ch=8):
         from dose_prediction_tpu.models import UNETR

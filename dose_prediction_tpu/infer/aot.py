@@ -79,6 +79,34 @@ def build_info() -> dict:
             "libtpu": libtpu, "device_kind": device_kind}
 
 
+def _sidecar_path(pkl_path: Path) -> Path:
+    """<name>.json next to <name>.pkl OR <name>.pkl.gz (artifacts over
+    ~100 MB ship gzipped — serialized train executables compress ~4:1)."""
+    pkl_path = Path(pkl_path)
+    name = pkl_path.name
+    for suffix in (".pkl.gz", ".pkl"):
+        if name.endswith(suffix):
+            return pkl_path.with_name(name[: -len(suffix)] + ".json")
+    return pkl_path.with_suffix(".json")
+
+
+def _read_payload(path: Path):
+    import gzip
+    import pickle
+
+    opener = gzip.open if path.name.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _find_artifact(base: Path) -> Optional[Path]:
+    """Resolve <stem>.pkl or <stem>.pkl.gz (plain wins when both exist)."""
+    if base.exists():
+        return base
+    gz = base.with_name(base.name + ".gz")
+    return gz if gz.exists() else None
+
+
 def write_sidecar(pkl_path: Path, *, spec: Optional[dict] = None,
                   extra: Optional[dict] = None) -> Path:
     """Provenance sidecar next to an artifact: versions/chip it was built
@@ -99,7 +127,7 @@ def write_sidecar(pkl_path: Path, *, spec: Optional[dict] = None,
         record["spec"] = spec
     if extra:
         record.update(extra)
-    out = pkl_path.with_suffix(".json")
+    out = _sidecar_path(pkl_path)
     out.write_text(json.dumps(record, indent=2, sort_keys=True, default=str))
     return out
 
@@ -108,7 +136,7 @@ def read_sidecar(pkl_path: Path) -> Optional[dict]:
     import json
 
     try:
-        return json.loads(Path(pkl_path).with_suffix(".json").read_text())
+        return json.loads(_sidecar_path(pkl_path).read_text())
     except (OSError, ValueError):
         return None
 
@@ -119,13 +147,14 @@ def artifact_manifest(directory: Optional[Path] = None) -> dict:
     served it."""
     directory = aot_dir() if directory is None else Path(directory)
     out = {}
-    for pkl in sorted(directory.glob("*.pkl")):
+    for pkl in sorted(list(directory.glob("*.pkl")) + list(directory.glob("*.pkl.gz"))):
         sc = read_sidecar(pkl) or {}
-        out[pkl.stem] = {"built_at": sc.get("built_at", "unknown"),
+        stem = pkl.name[:-7] if pkl.name.endswith(".pkl.gz") else pkl.stem
+        out[stem] = {"built_at": sc.get("built_at", "unknown"),
                          "jax": sc.get("built", {}).get("jax", "unknown"),
-                         "device_kind": sc.get("built", {}).get("device_kind",
-                                                                "unknown"),
-                         "size_mb": round(pkl.stat().st_size / 1e6, 1)}
+                      "device_kind": sc.get("built", {}).get("device_kind",
+                                                              "unknown"),
+                      "size_mb": round(pkl.stat().st_size / 1e6, 1)}
     return out
 
 
@@ -150,17 +179,13 @@ def load_aot(name: str):
     """Deserialize a shipped serve executable; None when absent, disabled, or
     incompatible with the running jax/libtpu (callers fall back to jit, and
     the sidecar-based staleness hint says why + how to rebuild)."""
-    import pickle
-
-    path = aot_dir() / f"{name}.pkl"
-    if not path.exists() or os.environ.get("DPT_NO_AOT") == "1":
+    path = _find_artifact(aot_dir() / f"{name}.pkl")
+    if path is None or os.environ.get("DPT_NO_AOT") == "1":
         return None
     try:
         from jax.experimental import serialize_executable as se
 
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        return se.deserialize_and_load(*payload)
+        return se.deserialize_and_load(*_read_payload(path))
     except Exception as e:  # stale jax/libtpu or foreign topology: recompile
         print(f"[aot] load failed for {name}: {type(e).__name__}: {e}\n"
               f"[aot] {_staleness_hint(name, path)}", file=sys.stderr)
@@ -313,15 +338,21 @@ def train_artifact_path(spec: dict) -> Path:
     return train_aot_dir() / f"{spec['kind']}-{spec_key(spec)}.pkl"
 
 
-def load_train_aot(spec: dict):
+def init_artifact_path(spec: dict) -> Path:
+    """Companion state-init executable: (PRNGKey,) -> TrainState. One program
+    fuses model.init + optimizer init (the eager tx.init would otherwise
+    dispatch hundreds of small device ops), so a fresh process pays neither
+    the minutes-long init compile nor the eager-op soup."""
+    return train_aot_dir() / f"{spec['kind']}-{spec_key(spec)}-init.pkl"
+
+
+def load_train_aot(spec: dict, *, path_fn=train_artifact_path):
     """Spec-checked train-step executable, or None. The sidecar must exist
     and its recorded spec must match EXACTLY (see module note above — this is
     a correctness gate, not just a compatibility one). Deserialization
     failures degrade with the staleness hint like the serve artifacts."""
-    import pickle
-
-    path = train_artifact_path(spec)
-    if not path.exists() or os.environ.get("DPT_NO_AOT") == "1":
+    path = _find_artifact(path_fn(spec))
+    if path is None or os.environ.get("DPT_NO_AOT") == "1":
         return None
     sc = read_sidecar(path)
     if sc is None or "spec" not in sc:
@@ -338,9 +369,7 @@ def load_train_aot(spec: dict):
     try:
         from jax.experimental import serialize_executable as se
 
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        return se.deserialize_and_load(*payload)
+        return se.deserialize_and_load(*_read_payload(path))
     except Exception as e:
         print(f"[aot] train artifact load failed for {path.name}: "
               f"{type(e).__name__}: {e}\n"
@@ -356,7 +385,7 @@ def maybe_wrap_train_step(kind: str, cfg, model, example_shape, jit_step):
     if cfg.mesh_shape:
         return jit_step
     spec = train_spec(kind, cfg, model, example_shape)
-    if not train_artifact_path(spec).exists():
+    if _find_artifact(train_artifact_path(spec)) is None:
         return jit_step
     prog = load_train_aot(spec)
     if prog is None:
@@ -364,3 +393,31 @@ def maybe_wrap_train_step(kind: str, cfg, model, example_shape, jit_step):
     print(f"[aot] using shipped train-step executable "
           f"{train_artifact_path(spec).name}", file=sys.stderr)
     return LazyAOTStage(f"train:{kind}", jit_step, aot=prog)
+
+
+def maybe_init_train_state(kind: str, cfg, model, example_shape, init_fn, key):
+    """Trainer hook: build the initial TrainState from the shipped init
+    executable when an exact spec match exists, else jit(init_fn)(key).
+    ``init_fn(key) -> TrainState`` must fuse model.init + tx.init (that is
+    what the shipped program was compiled from). Single-device only; any
+    mismatch/failure degrades to the jit path."""
+    import jax
+
+    fallback = lambda: jax.jit(init_fn)(key)
+    if cfg.mesh_shape or os.environ.get("DPT_NO_AOT") == "1":
+        return fallback()
+    spec = train_spec(kind, cfg, model, example_shape)
+    if _find_artifact(init_artifact_path(spec)) is None:
+        return fallback()
+    prog = load_train_aot(spec, path_fn=init_artifact_path)
+    if prog is None:
+        return fallback()
+    try:
+        state = prog(key)
+        print(f"[aot] state initialized from shipped executable "
+              f"{init_artifact_path(spec).name}", file=sys.stderr)
+        return state
+    except Exception as e:  # wrong key layout / foreign topology
+        print(f"[aot] init artifact rejected at call time: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return fallback()

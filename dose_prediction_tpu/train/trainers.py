@@ -448,26 +448,46 @@ class PyferTrainer:
         self.cfg = cfg
         self.model = model if model is not None else DosePyfer(
             remat_blocks=cfg.remat_blocks)
-        variables = jax.jit(self.model.init)(
-            jax.random.PRNGKey(cfg.seed), jnp.zeros(example_shape, jnp.float32))
-        params = variables["params"]
-        if pretrained_c3d_params is not None:
-            params, _ = C.load_pretrained_net_a(params, pretrained_c3d_params)
-            variables = {**variables, "params": params}
-        freeze_labels = S.cascade_freeze_labels(params) if cfg.freeze_net_a else None
+        from dose_prediction_tpu.infer import aot as AOT
+
+        key = jax.random.PRNGKey(cfg.seed)
+        example_zeros = lambda: jnp.zeros(example_shape, jnp.float32)
+        # freeze labels are path-based — abstract shapes suffice, so the
+        # optimizer exists before any device work and state init can be ONE
+        # program (model.init + tx.init fused; servable from a shipped AOT
+        # executable instead of the minutes-long cold compile)
+        var_shapes = jax.eval_shape(self.model.init, key, example_zeros())
+        freeze_labels = (S.cascade_freeze_labels(var_shapes["params"])
+                         if cfg.freeze_net_a else None)
         self.tx = S.make_optimizer(
             learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
             freeze_labels=freeze_labels, kind=cfg.optimizer,
             grad_accum=cfg.grad_accum)
-        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
-            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
+        if cfg.mesh_shape:
+            variables = jax.jit(self.model.init)(key, example_zeros())
+            if pretrained_c3d_params is not None:
+                params, _ = C.load_pretrained_net_a(variables["params"],
+                                                    pretrained_c3d_params)
+                variables = {**variables, "params": params}
+            self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+                _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
+        else:
+            init_fn = lambda k: S.create_train_state(
+                self.model.init(k, example_zeros()), self.tx)
+            self.state = AOT.maybe_init_train_state(
+                "pyfer", cfg, self.model, example_shape, init_fn, key)
+            if pretrained_c3d_params is not None:
+                # surgery after init is exact: fresh optimizer moments are
+                # zeros (and their int8 quantization), independent of params
+                params, _ = C.load_pretrained_net_a(self.state.params,
+                                                    pretrained_c3d_params)
+                self.state = self.state.replace(params=params)
+            self.mesh = self.batch_sharding = self.val_sharding = None
         self.train_step = STEP.make_pyfer_train_step(
             self.model, self.tx, delta1=cfg.delta1, delta2=cfg.delta2,
             freeze=cfg.freeze_net_a, packed=cfg.feed_dtype == "packed")
         # spec-checked shipped train-step executable (skips the minutes-long
         # cold compile on a fresh runtime session; exact-config match only)
-        from dose_prediction_tpu.infer import aot as AOT
-
         self.train_step = AOT.maybe_wrap_train_step(
             "pyfer", cfg, self.model, example_shape, self.train_step)
         self.eval_step = STEP.make_pyfer_eval_step(self.model)
@@ -939,20 +959,32 @@ class TranSegTrainer:
         self.num_classes = num_classes
         self.model = model if model is not None else TranSeg(
             out_ch=num_classes, remat_blocks=cfg.remat_blocks)
-        variables = jax.jit(self.model.init)(
-            jax.random.PRNGKey(cfg.seed), jnp.zeros((1, *self.crop, 1), jnp.float32))
-        params = variables["params"]
-        if pretrained_params is not None:
-            # ckpt surgery: shape-matched partial restore (:126-146)
-            params, _ = C.merge_partial(params, pretrained_params)
-            variables = {**variables, "params": params}
-        self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
-                                   weight_decay=cfg.weight_decay)
-        self.state, self.mesh, self.batch_sharding, self.val_sharding = \
-            _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
-        self.train_step = STEP.make_transeg_train_step(self.model, self.tx)
         from dose_prediction_tpu.infer import aot as AOT
 
+        key = jax.random.PRNGKey(cfg.seed)
+        example_zeros = lambda: jnp.zeros((1, *self.crop, 1), jnp.float32)
+        self.tx = S.make_optimizer(learning_rate=cfg.learning_rate,
+                                   weight_decay=cfg.weight_decay)
+        if cfg.mesh_shape:
+            variables = jax.jit(self.model.init)(key, example_zeros())
+            if pretrained_params is not None:
+                # ckpt surgery: shape-matched partial restore (:126-146)
+                params, _ = C.merge_partial(variables["params"], pretrained_params)
+                variables = {**variables, "params": params}
+            self.state, self.mesh, self.batch_sharding, self.val_sharding = \
+                _init_state_with_mesh(variables, self.tx, cfg.mesh_shape)
+        else:
+            init_fn = lambda k: S.create_train_state(
+                self.model.init(k, example_zeros()), self.tx)
+            self.state = AOT.maybe_init_train_state(
+                "transeg", cfg, self.model, (1, *self.crop, 1), init_fn, key)
+            if pretrained_params is not None:
+                # surgery after init is exact: fresh adamw moments are zeros,
+                # independent of params
+                params, _ = C.merge_partial(self.state.params, pretrained_params)
+                self.state = self.state.replace(params=params)
+            self.mesh = self.batch_sharding = self.val_sharding = None
+        self.train_step = STEP.make_transeg_train_step(self.model, self.tx)
         self.train_step = AOT.maybe_wrap_train_step(
             "transeg", cfg, self.model, (1, *self.crop, 1), self.train_step)
         self.logger = MetricLogger(cfg.log_dir, run_name="transeg")

@@ -67,7 +67,6 @@ def main() -> None:
     from dose_prediction_tpu.data.openkbp import OpenKBPDataset
     from dose_prediction_tpu.data.synthetic import make_synthetic_dataset
     from dose_prediction_tpu.infer import aot as A
-    from dose_prediction_tpu.models import DosePyfer, TranSeg
     from dose_prediction_tpu.train.trainers import (
         PyferTrainer,
         TrainConfig,
@@ -96,40 +95,74 @@ def main() -> None:
                            optimizer=resolve_optimizer(None, model_name),
                            feed_dtype=feed_dtype)
 
-    def build(kind, trainer, example_shape, batch):
-        spec = A.train_spec(kind, trainer.cfg, trainer.model, example_shape)
-        out = A.train_artifact_path(spec)
-        t = time.time()
-        compiled = trainer.train_step.lower(trainer.state, batch).compile()
-        log(f"{out.name} compiled in {time.time() - t:.1f}s")
+    import gzip
+
+    import jax.numpy as jnp
+
+    from dose_prediction_tpu.train.state import create_train_state
+
+    def write_artifact(out, compiled, spec):
         payload = se.serialize(compiled)
-        with open(out, "wb") as f:
+        with gzip.open(out, "wb", compresslevel=4) as f:
             pickle.dump(payload, f)
         A.write_sidecar(out, spec=spec)
         log(f"{out.name}: wrote {out.stat().st_size / 1e6:.1f} MB (+ sidecar)")
-        # roundtrip check (spec gate + deserialize); DPT_NO_AOT is set, so
-        # call the loader's internals directly
+
+    def roundtrip(out, spec, path_fn):
+        # spec gate + deserialize; DPT_NO_AOT is set during the build, so
+        # toggle it off around the loader call
         os.environ.pop("DPT_NO_AOT", None)
-        prog = A.load_train_aot(spec)
+        prog = A.load_train_aot(spec, path_fn=path_fn)
         os.environ["DPT_NO_AOT"] = "1"
         if prog is None:
             raise SystemExit(f"{out.name}: roundtrip load failed")
         log(f"{out.name}: roundtrip load OK")
 
-    # 1) flagship, bare CLI defaults (float32 feed, adam8bit, frozen net_A)
+    def build(kind, trainer, example_shape, batch):
+        spec = A.train_spec(kind, trainer.cfg, trainer.model, example_shape)
+        # train executables are ~550 MB raw and gzip ~4:1 — ship compressed
+        out = A.train_artifact_path(spec).with_suffix(".pkl.gz")
+        t = time.time()
+        compiled = trainer.train_step.lower(trainer.state, batch).compile()
+        log(f"{out.name} compiled in {time.time() - t:.1f}s")
+        write_artifact(out, compiled, spec)
+        roundtrip(out, spec, A.train_artifact_path)
+
+        # companion state-init executable: (PRNGKey,) -> TrainState, fusing
+        # model.init + tx.init into ONE program (the trainer's fallback path
+        # compiles the identical jit, so the persistent cache makes this
+        # second .compile() cheap)
+        init_fn = lambda k: create_train_state(
+            trainer.model.init(k, jnp.zeros(example_shape, jnp.float32)),
+            trainer.tx)
+        t = time.time()
+        compiled_init = jax.jit(init_fn).lower(
+            jax.random.PRNGKey(trainer.cfg.seed)).compile()
+        out_i = A.init_artifact_path(spec).with_suffix(".pkl.gz")
+        log(f"{out_i.name} compiled in {time.time() - t:.1f}s")
+        write_artifact(out_i, compiled_init, spec)
+        roundtrip(out_i, spec, A.init_artifact_path)
+
+    # 1) flagship, bare CLI defaults (float32 feed, adam8bit, frozen net_A).
+    # Models come from the CLI's own factories so the spec key matches the
+    # quick-start exactly (drift here = silently unreachable artifacts;
+    # pinned by tests/test_bootstrap_aot.py shipped-spec test).
+    from dose_prediction_tpu.cli.main import (
+        default_flagship_model,
+        default_seg_model,
+    )
+
     feeds = ["float32"] if ns.skip_packed else ["float32", "packed"]
     for feed in feeds:
         cfg = cli_default_cfg("pyfer", feed)
-        trainer = PyferTrainer(
-            cfg, model=DosePyfer(act="relu", multiS_conv=True,
-                                 remat_blocks=False),
-            example_shape=(1, 128, 128, 128, 9))
+        trainer = PyferTrainer(cfg, model=default_flagship_model(),
+                               example_shape=(1, 128, 128, 128, 9))
         batch = next(iter(_train_batches(cfg, ds, 0, drop_last=False)))
         build("pyfer", trainer, (1, 128, 128, 128, 9), batch)
 
     # 2) seg, bare CLI defaults (96³ crops ×4, adamw, float32 feed)
     cfg = cli_default_cfg("transeg", "float32")
-    trainer = TranSegTrainer(cfg, model=TranSeg(out_ch=8, remat_blocks=False),
+    trainer = TranSegTrainer(cfg, model=default_seg_model(),
                              crop=(96, 96, 96))
     batch = next(iter(seg_batches(ds, crop=(96, 96, 96), num_samples=4,
                                   batch_size=cfg.batch_size, seed=0)))

@@ -151,6 +151,75 @@ def test_artifact_manifest(tmp_path):
     # embeds this manifest so a measurement records the builds that served it
 
 
+# -- gzipped artifacts (train executables ship ~4:1 compressed) ---------------
+
+def test_sidecar_path_strips_pkl_gz(tmp_path):
+    gz = tmp_path / "pyfer-abc.pkl.gz"
+    gz.write_bytes(b"x")
+    A.write_sidecar(gz)
+    assert (tmp_path / "pyfer-abc.json").exists()
+    assert A.read_sidecar(gz)["size_bytes"] == 1
+
+
+def test_find_artifact_prefers_plain_pkl(tmp_path):
+    base = tmp_path / "stage1.pkl"
+    assert A._find_artifact(base) is None
+    gz = tmp_path / "stage1.pkl.gz"
+    gz.write_bytes(b"x")
+    assert A._find_artifact(base) == gz
+    base.write_bytes(b"y")
+    assert A._find_artifact(base) == base
+
+
+def test_load_aot_reads_gzipped_payload(tmp_path, monkeypatch, capfd):
+    """A .pkl.gz artifact must be found, gunzipped, and unpickled — here the
+    payload is garbage, so the proof of a successful read is that failure
+    happens at deserialize_and_load (staleness hint), not at open/unpickle."""
+    import gzip
+
+    gz = tmp_path / "stage1.pkl.gz"
+    with gzip.open(gz, "wb") as f:
+        pickle.dump(("not", "a real", "executable"), f)
+    A.write_sidecar(gz)
+    monkeypatch.setenv("DPT_AOT_DIR", str(tmp_path))
+    assert A.load_aot("stage1") is None
+    err = capfd.readouterr().err
+    assert "load failed for stage1" in err
+    # the hint proves the sidecar next to the .pkl.gz was found and read
+    assert "versions match" in err and "Rebuild with" in err
+
+
+def test_artifact_manifest_lists_gz_under_bare_stem(tmp_path):
+    import gzip
+
+    gz = tmp_path / "stage2.pkl.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(b"payload")
+    (tmp_path / "stage2.json").write_text(json.dumps(
+        {"built": {"jax": "9.9.9", "device_kind": "TPU v5 lite"},
+         "built_at": "2026-01-01T00:00:00"}))
+    man = A.artifact_manifest(tmp_path)
+    assert man["stage2"]["jax"] == "9.9.9"
+    assert man["stage2"]["size_mb"] == round(gz.stat().st_size / 1e6, 1)
+
+
+def test_train_aot_gz_matching_spec_reaches_deserialize(
+        tmp_path, monkeypatch, capfd):
+    import gzip
+
+    monkeypatch.setenv("DPT_TRAIN_AOT_DIR", str(tmp_path))
+    spec = _toy_spec()
+    path = A.train_artifact_path(spec).with_suffix(".pkl.gz")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(path, "wb") as f:
+        pickle.dump(("bad", "payload"), f)
+    A.write_sidecar(path, spec=spec)
+    assert A.load_train_aot(spec) is None
+    err = capfd.readouterr().err
+    assert "different train config" not in err
+    assert "train artifact load failed" in err
+
+
 # -- train-step AOT spec gate -------------------------------------------------
 
 def _toy_spec(**over):
@@ -245,6 +314,85 @@ def test_train_spec_is_canonical_and_json_able():
                      num_layers=4, num_heads=2)
     spec2 = A.train_spec("transeg", TrainConfig(), model2, (1, 96, 96, 96, 1))
     assert A.spec_key(spec2) != A.spec_key(spec)
+
+
+def test_maybe_init_train_state_fallback_and_gate(tmp_path, monkeypatch, capfd):
+    """No artifact → jit(init_fn)(key) runs; a garbage init artifact with a
+    MATCHING sidecar spec must degrade to the same fallback (not crash)."""
+    import gzip
+
+    from dose_prediction_tpu.models import DosePyfer
+    from dose_prediction_tpu.train import state as S
+    from dose_prediction_tpu.train.trainers import TrainConfig
+
+    monkeypatch.setenv("DPT_TRAIN_AOT_DIR", str(tmp_path))
+    cfg = TrainConfig()
+    model = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
+                      feature_size=2, hidden_size=24, mlp_dim=48,
+                      num_layers=4, num_heads=2)
+    shape = (1, 32, 32, 32, 9)
+    tx = S.make_optimizer(learning_rate=1e-3, weight_decay=1e-4)
+    init_fn = lambda k: S.create_train_state(
+        model.init(k, jax.numpy.zeros(shape, jax.numpy.float32)), tx)
+    key = jax.random.PRNGKey(0)
+
+    state = A.maybe_init_train_state("pyfer", cfg, model, shape, init_fn, key)
+    assert int(state.step) == 0 and state.params  # fallback built a real state
+
+    spec = A.train_spec("pyfer", cfg, model, shape)
+    bad = A.init_artifact_path(spec).with_suffix(".pkl.gz")
+    bad.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(bad, "wb") as f:
+        pickle.dump(("bad", "payload"), f)
+    A.write_sidecar(bad, spec=spec)
+    state2 = A.maybe_init_train_state("pyfer", cfg, model, shape, init_fn, key)
+    err = capfd.readouterr().err
+    assert "train artifact load failed" in err  # gate reached deserialize
+    # fallback state is bit-identical to the direct jit init (same key)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shipped_train_artifacts_match_cli_quickstart_spec():
+    """The shipped train executables exist to serve the bare quick-start
+    (`python -m dose_prediction_tpu train pyfer/transeg` with no flags). The
+    spec gate matches EXACTLY, so any drift between the CLI's default
+    construction and what scripts/build_train_aot.py built makes the
+    artifacts silently unreachable — this pins them together (round-5
+    regression: the build script hard-coded act='relu' while the CLI default
+    is the reference's tuned 'mish', train_light_pyfer.py:294)."""
+    from dose_prediction_tpu.cli.main import (
+        _DEFAULT_LR,
+        default_flagship_model,
+        default_seg_model,
+        resolve_optimizer,
+    )
+    from dose_prediction_tpu.train.trainers import TrainConfig
+
+    d = Path(__file__).resolve().parents[1] / "artifacts" / "train_aot"
+    sidecars = sorted(d.glob("*.json")) if d.is_dir() else []
+    if not sidecars:
+        pytest.skip("no shipped train artifacts in this checkout")
+    expected = {}
+    for kind, model, shape, feeds in (
+            ("pyfer", default_flagship_model(), (1, 128, 128, 128, 9),
+             ("float32", "packed")),
+            ("transeg", default_seg_model(), (1, 96, 96, 96, 1),
+             ("float32",))):
+        for feed in feeds:
+            cfg = TrainConfig(learning_rate=_DEFAULT_LR,
+                              optimizer=resolve_optimizer(None, kind),
+                              feed_dtype=feed)
+            spec = A.train_spec(kind, cfg, model, shape)
+            expected[f"{kind}-{A.spec_key(spec)}"] = spec
+    for sc in sidecars:
+        stem = sc.stem[:-5] if sc.stem.endswith("-init") else sc.stem
+        assert stem in expected, (
+            f"shipped train artifact {sc.stem} matches no CLI quick-start "
+            f"spec — the quick-start would cold-compile instead of loading "
+            f"it; rebuild with scripts/build_train_aot.py")
+        rec = json.loads(sc.read_text())["spec"]
+        assert A.canonical_spec(rec) == A.canonical_spec(expected[stem])
 
 
 # -- flagship optimizer default (reference parity: bnb Adam8bit) --------------
