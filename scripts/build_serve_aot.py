@@ -3,7 +3,7 @@
 Compiles the three serve programs bench.py runs — stage1 (96³ sliding-window
 TranSeg sweep, sw_batch 8), stage2 (DOSE-PYFER 128³ + post-process) and the
 dense-path stage1 — and serializes the COMPILED executables with
-jax.experimental.serialize_executable into ``artifacts/serve_aot/*.pkl``.
+jax.experimental.serialize_executable into ``artifacts/serve_aot/*.pkl.gz``.
 
 Unlike the persistent-compilation-cache entries (artifacts/serve_cache/,
 scripts/build_serve_cache.py), loading these does no cache-key matching —
@@ -20,6 +20,7 @@ Run on the real TPU:  python scripts/build_serve_aot.py
 
 from __future__ import annotations
 
+import gzip
 import pickle
 import sys
 import time
@@ -75,8 +76,11 @@ def main() -> None:
         compiled = jax.jit(fn).lower(*args).compile()
         log(f"{name} compiled in {time.time() - t:.1f}s")
         payload = se.serialize(compiled)
-        out = AOT_DIR / f"{name}.pkl"
-        with open(out, "wb") as f:
+        # ship gzipped (~4:1) — the loader resolves .pkl or .pkl.gz; drop any
+        # stale plain .pkl so it can't shadow the fresh build
+        (AOT_DIR / f"{name}.pkl").unlink(missing_ok=True)
+        out = AOT_DIR / f"{name}.pkl.gz"
+        with gzip.open(out, "wb", compresslevel=4) as f:
             pickle.dump(payload, f)
         # provenance sidecar: versions/chip/build date, read back by the
         # loader's staleness hint and by bench.py's artifact manifest
