@@ -354,6 +354,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="added to CT values before writing (use -1024 if "
                          "your release stores offset-unsigned CT instead of "
                          "Hounsfield units; the training transform expects HU)")
+    op.add_argument("--assume-spacing", default=None, metavar="D,H,W",
+                    help="voxel spacing to use for patients MISSING "
+                         "voxel_dimensions.csv (otherwise an error: DVH/"
+                         "D0.1cc metrics depend on the true voxel volume)")
 
     sc = sub.add_parser(
         "score",
@@ -422,8 +426,12 @@ def main(argv=None) -> int:
         # host-only conversion — usable with no jax backend at all
         from dose_prediction_tpu.data.openkbp_prepare import prepare_cohort
 
+        spacing = (tuple(float(s) for s in args.assume_spacing.split(","))
+                   if args.assume_spacing else None)
+        if spacing is not None and len(spacing) != 3:
+            raise SystemExit("--assume-spacing wants three values: D,H,W")
         n = prepare_cohort(args.csv_dir, args.out_dir, pattern=args.pattern,
-                           ct_offset=args.ct_offset)
+                           ct_offset=args.ct_offset, default_spacing=spacing)
         print(json.dumps({"patients_converted": n, "out_dir": args.out_dir}))
         return 0
 
@@ -906,7 +914,8 @@ def main(argv=None) -> int:
                             roi_size=(args.roi,) * 3, sw_batch_size=args.sw_batch,
                             seg_mode=args.seg_mode,
                             serve_dtype=getattr(args, "serve_dtype", "float32"),
-                            seg_block_family=args.block_family)
+                            seg_block_family=args.block_family,
+                            seg_k7_mode=getattr(args, "k7_mode", "dense"))
         results = model.evaluate(ds, log_dir=args.log_dir,
                                  plots_dir=args.plots_dir,
                                  with_ivs=not args.no_ivs)

@@ -197,6 +197,30 @@ class CheckpointManager:
     def restore_snapshot(self, step: int, target: Optional[Any] = None) -> Any:
         return self.restore_named(f"iter_{step}", target)
 
+    # -- run-config sidecar: graph-determining settings recorded next to the
+    #    slots so a resume can detect a silently-incompatible relaunch (e.g.
+    #    the CLI's pyfer optimizer default flipping adamw→adam8bit, or an act
+    #    default change — params restore cleanly but the run would train with
+    #    the wrong graph). Checked by train.trainers._try_resume. -----------
+    def write_run_config(self, spec: dict) -> None:
+        """Atomically record the run's graph-determining settings
+        (``<dir>/run_config.json``). Overwritten at every fit start — after
+        the resume guard has already compared against the previous record."""
+        import json
+
+        tmp = self._dir / ".run_config.json.tmp"
+        tmp.write_text(json.dumps(spec, indent=2, sort_keys=True, default=str))
+        os.replace(tmp, self._dir / "run_config.json")
+
+    def read_run_config(self) -> Optional[dict]:
+        """The previously recorded run config, or None (pre-sidecar runs)."""
+        import json
+
+        try:
+            return json.loads((self._dir / "run_config.json").read_text())
+        except (OSError, ValueError):
+            return None
+
     def wait(self) -> None:
         """Block until every async save issued by this manager is durable."""
         if self._last_ckptr is not None:

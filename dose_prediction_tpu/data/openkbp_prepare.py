@@ -60,6 +60,7 @@ def parse_sparse_csv(path: Path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     for mask files (empty/absent value column = membership list)."""
     indices, values = [], []
     has_values = False
+    n_missing = 0
     with open(path, "r") as f:
         for line in f:
             line = line.strip()
@@ -75,10 +76,22 @@ def parse_sparse_csv(path: Path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
                 has_values = True
             else:
                 values.append(1.0)
+                n_missing += 1
+    # a release file is either a value file (ct/dose: EVERY row carries a
+    # value) or a membership list (masks: NO row does) — a mix means a
+    # corrupt/truncated download, and silently substituting 1.0 for the
+    # missing cells would convert it into subtly wrong voxels
+    if has_values and n_missing:
+        raise ValueError(
+            f"{path}: {n_missing} row(s) missing a value in a value-carrying "
+            f"CSV — corrupt ct/dose file? (mask files carry no values at all)")
     idx = np.asarray(indices, np.int64)
     if idx.size and (idx.min() < 0 or idx.max() >= int(np.prod(SHAPE))):
         raise ValueError(f"{path}: voxel index out of range for {SHAPE}")
-    return idx, (np.asarray(values, np.float32) if has_values else None)
+    vals = np.asarray(values, np.float32) if has_values else None
+    if vals is not None and not np.all(np.isfinite(vals)):
+        raise ValueError(f"{path}: non-finite voxel values")
+    return idx, vals
 
 
 def csv_volume(path: Path) -> np.ndarray:
@@ -110,10 +123,17 @@ def _write_dense(out_dir: Path, stem: str, dense: np.ndarray,
 
 
 def prepare_patient(csv_dir: str | Path, out_dir: str | Path, *,
-                    ct_offset: float = 0.0) -> Dict[str, str]:
+                    ct_offset: float = 0.0,
+                    default_spacing: Optional[Sequence[float]] = None,
+                    ) -> Dict[str, str]:
     """Convert one official-release patient directory. Returns
     {nifti_stem: 'written'|'absent'} (patients legitimately lack some
-    structures — Empty2FullOAR handles that downstream)."""
+    structures — Empty2FullOAR handles that downstream).
+
+    ``voxel_dimensions.csv`` is required: DVH metrics (D0.1cc uses the voxel
+    volume) depend on the true per-patient spacing, so a missing file is an
+    error rather than a silent guess. Pass ``default_spacing`` (CLI
+    ``--assume-spacing D,H,W``) to convert anyway with a stated assumption."""
     csv_dir, out_dir = Path(csv_dir), Path(out_dir)
     files = {p.stem.lower(): p for p in csv_dir.glob("*.csv")}
     if "ct" not in files or "dose" not in files \
@@ -122,7 +142,19 @@ def prepare_patient(csv_dir: str | Path, out_dir: str | Path, *,
             f"{csv_dir}: not an OpenKBP patient directory (needs ct.csv, "
             f"dose.csv, possible_dose_mask.csv)")
     vd = files.get("voxel_dimensions")
-    spacing = read_voxel_dimensions(vd) if vd else (3.906, 3.906, 2.5)
+    if vd is not None:
+        spacing = read_voxel_dimensions(vd)
+    elif default_spacing is not None:
+        spacing = tuple(float(s) for s in default_spacing)
+        print(f"[openkbp-prepare] WARNING {csv_dir.name}: no "
+              f"voxel_dimensions.csv — assuming spacing {spacing}; DVH/"
+              f"D0.1cc scores for this patient use the assumed voxel volume")
+    else:
+        raise FileNotFoundError(
+            f"{csv_dir}: voxel_dimensions.csv missing (the official release "
+            f"always ships it; DVH metrics depend on the true voxel volume). "
+            f"Pass --assume-spacing D,H,W to convert with a stated "
+            f"assumption.")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     status: Dict[str, str] = {}
@@ -144,7 +176,8 @@ def prepare_patient(csv_dir: str | Path, out_dir: str | Path, *,
 
 
 def prepare_cohort(csv_root: str | Path, out_root: str | Path, *,
-                   pattern: str = "pt_*", ct_offset: float = 0.0) -> int:
+                   pattern: str = "pt_*", ct_offset: float = 0.0,
+                   default_spacing: Optional[Sequence[float]] = None) -> int:
     """Convert every ``pattern`` patient under ``csv_root``; returns the
     number converted. Layout mirrors the input: <out_root>/<patient_id>/."""
     csv_root, out_root = Path(csv_root), Path(out_root)
@@ -152,7 +185,8 @@ def prepare_cohort(csv_root: str | Path, out_root: str | Path, *,
     if not patients:
         raise FileNotFoundError(f"no '{pattern}' patient dirs in {csv_root}")
     for p in patients:
-        status = prepare_patient(p, out_root / p.name, ct_offset=ct_offset)
+        status = prepare_patient(p, out_root / p.name, ct_offset=ct_offset,
+                                 default_spacing=default_spacing)
         written = sum(v == "written" for v in status.values())
         print(f"[openkbp-prepare] {p.name}: {written} volumes "
               f"({sum(v == 'absent' for v in status.values())} absent)")

@@ -147,14 +147,19 @@ def artifact_manifest(directory: Optional[Path] = None) -> dict:
     served it."""
     directory = aot_dir() if directory is None else Path(directory)
     out = {}
-    for pkl in sorted(list(directory.glob("*.pkl")) + list(directory.glob("*.pkl.gz"))):
+    # plain .pkl listed first and kept on stem collision — matching
+    # _find_artifact's preference, so the manifest describes the artifact
+    # that would actually serve
+    for pkl in sorted(directory.glob("*.pkl")) + sorted(directory.glob("*.pkl.gz")):
         sc = read_sidecar(pkl) or {}
         stem = pkl.name[:-7] if pkl.name.endswith(".pkl.gz") else pkl.stem
+        if stem in out:
+            continue
         out[stem] = {"built_at": sc.get("built_at", "unknown"),
-                         "jax": sc.get("built", {}).get("jax", "unknown"),
-                      "device_kind": sc.get("built", {}).get("device_kind",
-                                                              "unknown"),
-                      "size_mb": round(pkl.stat().st_size / 1e6, 1)}
+                     "jax": sc.get("built", {}).get("jax", "unknown"),
+                     "device_kind": sc.get("built", {}).get("device_kind",
+                                                            "unknown"),
+                     "size_mb": round(pkl.stat().st_size / 1e6, 1)}
     return out
 
 
@@ -259,8 +264,28 @@ class LazyAOTStage:
                       f"({type(e).__name__}: {e}); falling back to jit",
                       file=sys.stderr)
                 self._aot = None
+                self._raise_if_inputs_donated(args, e)
         self.used_aot = False
         return self.jit_fn(*args)
+
+    @staticmethod
+    def _raise_if_inputs_donated(args, cause: Exception) -> None:
+        """Train-step executables donate the state argument; if the shipped
+        program failed AFTER dispatch (e.g. a runtime incompatibility surfaced
+        by the first-call sync), the input buffers are already invalidated and
+        the jit fallback would crash with a bare 'Array has been deleted'.
+        Surface an actionable error instead."""
+        import jax
+
+        if any(getattr(leaf, "is_deleted", lambda: False)()
+               for leaf in jax.tree_util.tree_leaves(args)):
+            raise RuntimeError(
+                "shipped AOT executable failed after donating its input "
+                "buffers — the live training state was invalidated, so "
+                "falling back to jit in-place is impossible. Re-run with "
+                "DPT_NO_AOT=1 (resume picks up from the last checkpoint), "
+                "and rebuild the artifacts with scripts/build_train_aot.py "
+                "on this jax/libtpu.") from cause
 
 
 # -- train-step AOT artifacts -------------------------------------------------

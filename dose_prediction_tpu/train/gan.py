@@ -237,6 +237,7 @@ class VitGANTrainer:
             _check_mesh_batch,
             _feed_rows,
             _host_mean,
+            _resume_guard_config,
             _traced_epoch,
             _train_batches,
             _try_resume,
@@ -247,7 +248,9 @@ class VitGANTrainer:
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
-                self.ckpt, {"g": self.g_state, "d": self.d_state, "epoch": 0})
+                self.ckpt, {"g": self.g_state, "d": self.d_state, "epoch": 0},
+                run_config=_resume_guard_config(
+                    self.cfg, self.gen, self.disc))
             if restored is not None:
                 self.g_state, self.d_state = restored["g"], restored["d"]
         global_step = int(self.g_state.step)

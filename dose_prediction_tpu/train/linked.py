@@ -44,6 +44,7 @@ class LinkedModel:
         seg_mode: str = "sliding",
         serve_dtype: str = "float32",
         seg_block_family: str = "seg",
+        seg_k7_mode: str = "dense",
     ):
         """``seg_mode='dense'`` replaces the stage-1 sliding-window sweep with
         ONE full-volume seg forward (pos-embed grid adaptation; ~2.6× faster
@@ -62,12 +63,17 @@ class LinkedModel:
         train_light_transeg.py:20)."""
         dtype = jnp.bfloat16 if serve_dtype == "bfloat16" else jnp.float32
         if seg_model is None:
+            # seg_k7_mode must match the checkpoint's decoder flavor (a
+            # separable-trained checkpoint has conv0_d/_h/_w param trees —
+            # see train transeg --k7-mode)
             if seg_mode == "dense":
                 grid = tuple(int(r) // TranSeg.patch_size for r in roi_size)
                 seg_model = TranSeg(trained_grid=grid, dtype=dtype,
-                                    block_family=seg_block_family)
+                                    block_family=seg_block_family,
+                                    k7_mode=seg_k7_mode)
             else:
-                seg_model = TranSeg(dtype=dtype, block_family=seg_block_family)
+                seg_model = TranSeg(dtype=dtype, block_family=seg_block_family,
+                                    k7_mode=seg_k7_mode)
         self.seg_model = seg_model
         self.dose_model = dose_model if dose_model is not None else DosePyfer(dtype=dtype)
         if seg_variables is None:

@@ -402,14 +402,60 @@ def _save_epoch_slots(ckpt, cfg: TrainConfig, epoch: int, global_step: int,
     ckpt.save_last(tree)
 
 
-def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any]):
+def _resume_guard_config(cfg: TrainConfig, *models) -> Dict[str, Any]:
+    """The graph-determining settings a resumed run MUST match: the optimizer
+    family (opt_state structure — e.g. adam8bit's int8/uint8 moments) and
+    every model-constructor field (act, block_family, k7_mode, sizes — the
+    params restore act-independently, so a flipped default would otherwise
+    train/serve silently with the wrong graph). Learning rate / wd / horizons
+    are deliberately NOT pinned: retuning them across resumes is a legitimate
+    reference workflow (train_light_pyfer.py:343-347)."""
+    from dose_prediction_tpu.infer import aot as AOT
+
+    return {"optimizer": cfg.optimizer,
+            "models": [{"model": type(m).__name__,
+                        "config": AOT.model_spec(m)} for m in models]}
+
+
+def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any],
+                run_config: Optional[Dict[str, Any]] = None):
     """Shared resume policy (every trainer's ckpt_path='last.ckpt' analogue,
     e.g. train_light_hdunet.py:296, train_light_dosegan.py:349): prefer the
     every-epoch 'last' slot (at least as fresh as monitored saves), fall back
     to the newest monitored/legacy checkpoint. A corrupt/partial slot (e.g. a
     crash mid-write on a filesystem without atomic rename) degrades to the
     next candidate instead of killing the run. Returns
-    (tree|None, start_epoch)."""
+    (tree|None, start_epoch).
+
+    Safety: when the checkpoint directory holds work that the current
+    configuration CANNOT continue — the recorded run_config sidecar differs
+    on a graph-determining knob, or checkpoints exist but none restore
+    against the current state template — this raises instead of silently
+    starting fresh (which would rotate the old slots away). Set
+    ``DPT_FRESH_ON_MISMATCH=1`` to discard the old run deliberately."""
+    import json
+    import os as _os
+
+    fresh_ok = _os.environ.get("DPT_FRESH_ON_MISMATCH") == "1"
+    canon = lambda d: json.dumps(d, sort_keys=True, default=str)
+    if run_config is not None:
+        stored = ckpt.read_run_config()
+        if stored is not None and canon(stored) != canon(run_config):
+            msg = ("[resume] checkpoint dir was written by a run with "
+                   "different graph-determining settings:\n"
+                   f"  recorded: {canon(stored)}\n"
+                   f"  current:  {canon(run_config)}\n"
+                   "Resuming would train/serve a different graph over the "
+                   "restored weights (defaults may have changed across "
+                   "versions — e.g. pyfer's optimizer adamw→adam8bit, act "
+                   "relu→mish). Relaunch with the recorded settings, or set "
+                   "DPT_FRESH_ON_MISMATCH=1 to discard the old run.")
+            if not fresh_ok:
+                raise RuntimeError(msg)
+            print(msg + "\n[resume] DPT_FRESH_ON_MISMATCH=1: starting FRESH "
+                  "— subsequent saves will overwrite the old slots")
+            ckpt.write_run_config(run_config)
+            return None, 0
     restored = None
     last_failed = False
     try:
@@ -425,16 +471,26 @@ def _try_resume(ckpt: "C.CheckpointManager", template: Dict[str, Any]):
             print(f"[resume] monitored checkpoints unreadable "
                   f"({type(e).__name__})")
             last_failed = True
+    if run_config is not None and (restored is not None or not last_failed):
+        ckpt.write_run_config(run_config)
     if restored is None:
         if last_failed:
             # checkpoints EXIST but none matched the current state template —
             # usually an architecture/optimizer change (e.g. the critic's
-            # 10ch→1ch fix), not a fresh run. Warn loudly: continuing will
-            # overwrite the old slots.
-            print("[resume] WARNING: existing checkpoints could not be "
-                  "restored against the current model/optimizer structure "
-                  "(architecture changed?); starting FRESH — subsequent "
-                  "saves will overwrite the old slots")
+            # 10ch→1ch fix), not a fresh run. Continuing would overwrite the
+            # old slots, so refuse unless explicitly told to discard.
+            msg = ("[resume] existing checkpoints could not be restored "
+                   "against the current model/optimizer structure "
+                   "(architecture or optimizer changed?). Relaunch with the "
+                   "settings the run was trained with (e.g. --optimizer "
+                   "adamw for flagship runs from before the adam8bit "
+                   "default), or set DPT_FRESH_ON_MISMATCH=1 to discard the "
+                   "old run and start fresh")
+            if not fresh_ok:
+                raise RuntimeError(msg)
+            print(msg + "\n[resume] DPT_FRESH_ON_MISMATCH=1: starting FRESH")
+            if run_config is not None:
+                ckpt.write_run_config(run_config)
         return None, 0
     return restored, int(restored["epoch"]) + 1
 
@@ -509,7 +565,8 @@ class PyferTrainer:
             # last-slot first, then monitored, degrading past corrupt slots
             # (train_light_pyfer.py:343-347 ckpt_path='last.ckpt')
             restored, start_epoch = _try_resume(
-                self.ckpt, {"state": self.state, "epoch": 0})
+                self.ckpt, {"state": self.state, "epoch": 0},
+                run_config=_resume_guard_config(self.cfg, self.model))
             if restored is not None:
                 self.state = restored["state"]
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
@@ -758,7 +815,8 @@ class CascadeC3DTrainer:
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
-                self.ckpt, {"state": self.state, "epoch": 0})
+                self.ckpt, {"state": self.state, "epoch": 0},
+                run_config=_resume_guard_config(self.cfg, self.model))
             if restored is not None:
                 self.state = restored["state"]
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
@@ -911,7 +969,8 @@ class HDUNetTrainer:
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
-                self.ckpt, {"state": self.state, "epoch": 0})
+                self.ckpt, {"state": self.state, "epoch": 0},
+                run_config=_resume_guard_config(self.cfg, self.model))
             if restored is not None:
                 self.state = restored["state"]
         global_step = int(self.state.step)
@@ -1087,7 +1146,8 @@ class TranSegTrainer:
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
-                self.ckpt, {"state": self.state, "epoch": 0})
+                self.ckpt, {"state": self.state, "epoch": 0},
+                run_config=_resume_guard_config(self.cfg, self.model))
             if restored is not None:
                 self.state = restored["state"]
                 self.logger.log_text(f"resumed from epoch {start_epoch - 1}")
@@ -1197,7 +1257,8 @@ class ExpModelTrainer:
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
-                self.ckpt, {"state": self.state, "epoch": 0})
+                self.ckpt, {"state": self.state, "epoch": 0},
+                run_config=_resume_guard_config(self.cfg, self.model))
             if restored is not None:
                 self.state = restored["state"]
         global_step = int(self.state.step)
@@ -1348,7 +1409,8 @@ class DoseGANTrainer:
         start_epoch = 0
         if resume:
             restored, start_epoch = _try_resume(
-                self.ckpt, {"g": self.g_state, "d": self.d_state, "epoch": 0})
+                self.ckpt, {"g": self.g_state, "d": self.d_state, "epoch": 0},
+                run_config=_resume_guard_config(self.cfg, self.gen, self.disc))
             if restored is not None:
                 self.g_state, self.d_state = restored["g"], restored["d"]
         global_step = int(self.g_state.step)

@@ -427,3 +427,49 @@ def test_cli_pyfer_defaults_to_adam8bit(tmp_path):
     dtypes = {np.dtype(np.asarray(l).dtype)
               for l in jax.tree.leaves(tree["state"]["opt_state"])}
     assert np.dtype(np.int8) in dtypes and np.dtype(np.uint8) in dtypes
+
+
+# -- round-5 review fixes ------------------------------------------------------
+
+def test_artifact_manifest_prefers_plain_pkl_on_collision(tmp_path):
+    """When <stem>.pkl and <stem>.pkl.gz coexist, _find_artifact serves the
+    plain one — the manifest must describe THAT file, not the gz (review
+    finding: provenance named a different build than the one serving)."""
+    plain = tmp_path / "stage1.pkl"
+    plain.write_bytes(b"p" * 3_000_000)
+    (tmp_path / "stage1.pkl.gz").write_bytes(b"g" * 1_000_000)
+    A.write_sidecar(plain)  # shared sidecar (same stem)
+    man = A.artifact_manifest(tmp_path)
+    assert list(man) == ["stage1"]
+    assert man["stage1"]["size_mb"] == 3.0  # the plain pkl's size
+
+
+def test_lazy_aot_fallback_with_live_inputs():
+    """AOT failure with intact inputs degrades to jit silently."""
+    import jax.numpy as jnp
+
+    def bad_aot(*a):
+        raise ValueError("boom")
+
+    stage = A.LazyAOTStage("train:test", lambda x: x + 1, aot=bad_aot)
+    x = jnp.arange(4.0)
+    out = stage(x)
+    assert stage.used_aot is False
+    np.testing.assert_allclose(np.asarray(out), np.arange(4.0) + 1)
+
+
+def test_lazy_aot_donation_failure_is_actionable():
+    """Train-step executables donate the state arg; if the shipped program
+    fails AFTER invalidating its inputs, the jit fallback cannot run — the
+    stage must raise an actionable error (mentioning DPT_NO_AOT) instead of
+    a bare 'Array has been deleted' from the fallback."""
+    import jax.numpy as jnp
+
+    def bad_aot(*a):
+        raise ValueError("boom")
+
+    stage = A.LazyAOTStage("train:test", lambda x: x + 1, aot=bad_aot)
+    x = jnp.arange(4.0)
+    x.delete()  # simulate donation by the failed executable
+    with pytest.raises(RuntimeError, match="DPT_NO_AOT"):
+        stage(x)

@@ -136,8 +136,54 @@ def test_ct_offset(tmp_path):
     _write_sparse(pdir / "dose.csv", np.ones(P.SHAPE, np.float32), mask=False)
     _write_sparse(pdir / "possible_dose_mask.csv",
                   np.ones(P.SHAPE, np.uint8), mask=True)
+    (pdir / "voxel_dimensions.csv").write_text("3.906\n3.906\n2.5\n")
     P.prepare_patient(pdir, tmp_path / "out", ct_offset=-1024)
     from dose_prediction_tpu.data.nifti import read_nifti
 
     img = read_nifti(tmp_path / "out" / "CT.nii.gz")
     assert img.data[0, 0, :4].tolist() == [-1024, 0, 1500, 2976]
+
+
+# -- round-5 review fixes: no silent substitution of corrupt/missing data -----
+
+def test_value_csv_with_missing_cells_is_an_error(tmp_path):
+    """A value-carrying CSV (ct/dose) with an empty or 'nan' cell is a corrupt
+    download — refusing beats silently writing 1.0 into that voxel."""
+    p = tmp_path / "ct.csv"
+    p.write_text(",data\n5,1.5\n9,\n")
+    with pytest.raises(ValueError, match="missing a value"):
+        P.parse_sparse_csv(p)
+    p.write_text(",data\n5,1.5\n9,nan\n")
+    with pytest.raises(ValueError, match="missing a value"):
+        P.parse_sparse_csv(p)
+    p.write_text(",data\n5,1.5\n9,inf\n")
+    with pytest.raises(ValueError, match="non-finite"):
+        P.parse_sparse_csv(p)
+
+
+def _minimal_patient(pdir):
+    pdir.mkdir()
+    _write_sparse(pdir / "ct.csv", np.ones(P.SHAPE, np.float32), mask=False)
+    _write_sparse(pdir / "dose.csv", np.ones(P.SHAPE, np.float32), mask=False)
+    _write_sparse(pdir / "possible_dose_mask.csv",
+                  np.ones(P.SHAPE, np.uint8), mask=True)
+
+
+def test_missing_voxel_dimensions_is_an_error(tmp_path):
+    """DVH/D0.1cc depend on the true voxel volume: a patient without
+    voxel_dimensions.csv must not convert with a silently fabricated
+    spacing."""
+    _minimal_patient(tmp_path / "pt_0")
+    with pytest.raises(FileNotFoundError, match="assume-spacing"):
+        P.prepare_patient(tmp_path / "pt_0", tmp_path / "out")
+
+
+def test_assume_spacing_converts_with_stated_assumption(tmp_path, capfd):
+    from dose_prediction_tpu.data.nifti import read_nifti
+
+    _minimal_patient(tmp_path / "pt_0")
+    P.prepare_patient(tmp_path / "pt_0", tmp_path / "out",
+                      default_spacing=(2.0, 2.0, 3.0))
+    assert "WARNING" in capfd.readouterr().out
+    img = read_nifti(tmp_path / "out" / "CT.nii.gz")
+    assert tuple(round(float(s), 6) for s in img.spacing) == (2.0, 2.0, 3.0)

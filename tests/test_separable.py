@@ -155,3 +155,24 @@ def test_cli_train_separable_transeg(tmp_path):
                "--ckpt-dir", str(tmp_path / "ck2"),
                "--log-dir", str(tmp_path / "lg2")])
     assert rc == 0
+
+
+def test_linked_model_builds_seg_with_k7_mode(monkeypatch):
+    """Round-5 review finding: linked-eval's --k7-mode was dead for full-size
+    models — LinkedModel's default TranSeg construction dropped it, so a
+    separable-trained seg checkpoint (conv0_d/_h/_w param trees) hit a dense
+    module. LinkedModel must thread seg_k7_mode into both default paths."""
+    from dose_prediction_tpu.train import linked as L
+
+    captured = {}
+
+    def fake_cascade(seg_model, seg_vars, dose_model, dose_vars, **kw):
+        captured["seg_model"] = seg_model
+        return lambda *a: None
+
+    monkeypatch.setattr(L, "make_cascade_fn", fake_cascade)
+    for seg_mode in ("sliding", "dense"):
+        m = L.LinkedModel(seg_variables={}, dose_variables={},
+                          seg_mode=seg_mode, seg_k7_mode="separable")
+        assert m.seg_model.k7_mode == "separable", seg_mode
+        assert captured["seg_model"] is m.seg_model
