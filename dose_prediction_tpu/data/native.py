@@ -34,7 +34,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not _LIB_PATH.exists() and not _build():
+    # always run make (a no-op when fresh): the .so must track dose_io.cpp
+    # edits, and an existing stale binary would otherwise never rebuild.
+    # A failed make (no toolchain) still falls back to a prebuilt .so.
+    if not _build() and not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -196,6 +199,10 @@ def augment_dose_bf16(inp: np.ndarray, gt: np.ndarray,
     if lib is None or not hasattr(lib, "dose_io_augment_dose_bf16"):
         return None
     if inp.dtype != np.float32 or gt.dtype != np.float32:
+        return None
+    # the kernel indexes gt with inp's (d,h,w) strides — a rank or spatial
+    # mismatch would read past gt's buffer (the seg twin has the same guard)
+    if inp.ndim != 4 or gt.ndim != 4 or inp.shape[:3] != gt.shape[:3]:
         return None
     inp = np.ascontiguousarray(inp)
     gt = np.ascontiguousarray(gt)

@@ -60,7 +60,7 @@ class StreamingCascade:
                  seg_device=None, dose_device=None,
                  num_oar_classes: int = 8, roi_size: Sequence[int] = (96, 96, 96),
                  sw_batch_size: int = 4, overlap: float = 0.25,
-                 dose_scale: float = 70.0):
+                 dose_scale: float = 70.0, seg_mode: str = "sliding"):
         devices = jax.devices()
         self.seg_device = seg_device if seg_device is not None else devices[0]
         self.dose_device = (dose_device if dose_device is not None
@@ -68,7 +68,7 @@ class StreamingCascade:
         stage1, stage2 = make_cascade_stages(
             seg_model, dose_model, num_oar_classes=num_oar_classes,
             roi_size=roi_size, sw_batch_size=sw_batch_size, overlap=overlap,
-            dose_scale=dose_scale)
+            dose_scale=dose_scale, seg_mode=seg_mode)
         self._stage1 = jax.jit(stage1)
         self._stage2 = jax.jit(stage2)
         # weights live on their stage's device once, not per patient

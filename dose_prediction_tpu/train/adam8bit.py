@@ -65,12 +65,18 @@ def _dequantize(q: Quantized, shape) -> jax.Array:
 
 def _quantize_log(x: jax.Array, block_size: int) -> LogQuantized:
     flat = x.reshape(-1).astype(jnp.float32)
-    pad = (-flat.shape[0]) % block_size
+    n = flat.shape[0]
+    pad = (-n) % block_size
     flat = jnp.pad(flat, (0, pad))
     blocks = jnp.maximum(flat.reshape(-1, block_size), 0.0)
     z = jnp.log(blocks + _LOG_TINY)
-    lo = jnp.min(z, axis=1, keepdims=True)
-    hi = jnp.max(z, axis=1, keepdims=True)
+    # pad lanes (last partial block) must not enter the block stats: a padded
+    # zero contributes log(tiny) ≈ -69 to lo, stretching the 255-step log
+    # grid over ~60 wasted log-units and destroying relative precision for
+    # every REAL v in that block (~13% per requantize at block_size 2048)
+    valid = (jnp.arange(flat.shape[0]) < n).reshape(-1, block_size)
+    lo = jnp.min(jnp.where(valid, z, jnp.inf), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(valid, z, -jnp.inf), axis=1, keepdims=True)
     scale = jnp.maximum((hi - lo) / 255.0, 1e-12)
     q = jnp.clip(jnp.round((z - lo) / scale), 0, 255).astype(jnp.uint8)
     return LogQuantized(values=q, lo=lo[:, 0], scale=scale[:, 0])

@@ -307,14 +307,19 @@ class PopulationBasedScheduler:
         self.rng = np.random.default_rng(seed)
         self.bounds = bounds or {}
 
-    def exploit_explore(self, trials: List[Trial]) -> None:
-        """Mutate the bottom quantile in place from the top quantile."""
+    def exploit_explore(self, trials: List[Trial]) -> Dict[int, int]:
+        """Mutate the bottom quantile in place from the top quantile. Returns
+        ``{bottom_trial_id: top_trial_id}`` — the exploit step of PBT copies
+        the winner's TRAINING STATE as well as its config (Ray PBT/PB2 clone
+        the checkpoint); run_pbt applies the state transfer from this map."""
         ranked = sorted(trials, key=lambda t: t.last_value,
                         reverse=(self.mode == "max"))
         n_q = max(1, int(len(ranked) * self.quantile))
         top, bottom = ranked[:n_q], ranked[-n_q:]
+        moves: Dict[int, int] = {}
         for t in bottom:
             src = top[int(self.rng.integers(len(top)))]
+            moves[t.trial_id] = src.trial_id
             new_cfg = dict(src.config)
             for k, v in new_cfg.items():
                 if isinstance(v, float):
@@ -325,15 +330,17 @@ class PopulationBasedScheduler:
                         nv = float(np.clip(nv, lo, hi))
                     new_cfg[k] = nv
             t.config = new_cfg
+        return moves
 
 
 class PB2Scheduler(PopulationBasedScheduler):
     """GP-bandit PB2 (Parker-Holder et al. 2020; the Ray PB2 the reference
     configures, tune_light_pyfer.py:124-145). Exploit copies a top performer's
-    CONFIG (run_pbt keeps each member's own training state — weight transfer
-    is the caller's choice), and EXPLORE selects the continuous
-    hyperparameters by GP-UCB fitted on the population's (config → metric
-    improvement) history instead of a random ×0.8/×1.25 perturbation."""
+    config (and, via the returned move map applied by run_pbt, its TRAINING
+    STATE — Ray's exploit clones the checkpoint), and EXPLORE selects the
+    continuous hyperparameters by GP-UCB fitted on the population's
+    (config → metric improvement) history instead of a random ×0.8/×1.25
+    perturbation."""
 
     def __init__(self, *, bounds: Dict[str, Tuple[float, float]],
                  ucb_kappa: float = 1.5, length_scale: float = 0.25,
@@ -387,14 +394,16 @@ class PB2Scheduler(PopulationBasedScheduler):
         ucb = mu + self.kappa * np.sqrt(var)
         return cands[int(np.argmax(ucb))]
 
-    def exploit_explore(self, trials: List[Trial]) -> None:
+    def exploit_explore(self, trials: List[Trial]) -> Dict[int, int]:
         self.observe(trials)
         ranked = sorted(trials, key=lambda t: t.last_value,
                         reverse=(self.mode == "max"))
         n_q = max(1, int(len(ranked) * self.quantile))
         top, bottom = ranked[:n_q], ranked[-n_q:]
+        moves: Dict[int, int] = {}
         for t in bottom:
             src = top[int(self.rng.integers(len(top)))]
+            moves[t.trial_id] = src.trial_id
             base = dict(src.config)
             # candidate set: log-uniform draws inside the bounds (GP picks)
             cands = []
@@ -404,6 +413,7 @@ class PB2Scheduler(PopulationBasedScheduler):
                     c[k] = float(np.exp(self.rng.uniform(np.log(lo), np.log(hi))))
                 cands.append(c)
             t.config = self._gp_ucb_choose(cands)
+        return moves
 
 
 def run_pbt(
@@ -414,12 +424,20 @@ def run_pbt(
     scheduler: Optional[PopulationBasedScheduler] = None,
     num_epochs: int = 16,
     seed: int = 0,
+    clone_state: Callable[[Any], Any] = lambda s: s,
 ) -> Dict[str, Any]:
     """Population-based training loop.
 
     ``init_trial_state(config)`` builds per-trial mutable state (train state);
     ``train_epoch(config, trial_state, epoch) -> (trial_state, metric)`` runs
     one epoch. Population members run round-robin on the single chip.
+
+    At each exploit step a bottom-quantile member adopts a top performer's
+    hyperparameters AND its training state (Ray PBT/PB2 clone the winner's
+    checkpoint — without the state transfer, losers never catch up and the
+    GP's improvement signal is evaluated on mismatched weights).
+    ``clone_state`` defaults to reference sharing, which is safe for
+    immutable jax pytrees; pass copy.deepcopy for mutable state objects.
     """
     space = space if space is not None else PYFER_SEARCH_SPACE
     scheduler = scheduler or PopulationBasedScheduler(seed=seed)
@@ -427,13 +445,17 @@ def run_pbt(
     trials = [Trial(trial_id=i, config=sample_config(space, rng))
               for i in range(scheduler.population)]
     states = [init_trial_state(t.config) for t in trials]
+    by_id = {t.trial_id: i for i, t in enumerate(trials)}
     for epoch in range(num_epochs):
         for t, i in zip(trials, range(len(trials))):
             states[i], metric = train_epoch(t.config, states[i], epoch)
             t.last_value = metric
             t.history.append(metric)
         if (epoch + 1) % scheduler.interval == 0:
-            scheduler.exploit_explore(trials)
+            moves = scheduler.exploit_explore(trials) or {}
+            for dst, src in moves.items():
+                if dst != src:
+                    states[by_id[dst]] = clone_state(states[by_id[src]])
     best = (max if scheduler.mode == "max" else min)(
         trials, key=lambda t: t.last_value)
     return {"best_config": best.config, "best_value": best.last_value,
@@ -515,8 +537,16 @@ def run_search(
         # never reached the journal — max journaled id + 1 counts them
         # (exact for serial runs; best-effort under max_concurrent>1, where
         # thread interleaving already makes draw order nondeterministic)
-        for _ in range(max((t.trial_id for t in trials), default=-1) + 1):
+        n_consumed = max((t.trial_id for t in trials), default=-1) + 1
+        for _ in range(n_consumed):
             sample_config(space, rng)
+        # the tpe/gp samplers draw their STARTUP configs from their own rng
+        # (suggest() → sample_config(space, searcher.rng)); without the same
+        # fast-forward a resume that crashed before n_startup completed would
+        # re-suggest byte-identical configs to the journaled startup trials
+        if searcher is not None:
+            for _ in range(n_consumed):
+                sample_config(space, searcher.rng)
 
     def journal_append(trial: Trial) -> None:
         if journal is None:
@@ -575,10 +605,13 @@ def run_search(
             run_one(i)
 
     valid = [t for t in trials if not math.isnan(t.last_value)]
-    best = (max if mode == "max" else min)(valid, key=lambda t: t.last_value)
+    # no valid trial (every config diverged, or num_samples=0): return a
+    # result reporting that instead of crashing after the compute was spent
+    best = ((max if mode == "max" else min)(valid, key=lambda t: t.last_value)
+            if valid else None)
     result = {
-        "best_config": best.config,
-        "best_value": best.last_value,
+        "best_config": best.config if best else None,
+        "best_value": best.last_value if best else float("nan"),
         "num_early_stopped": sum(t.stopped for t in trials),
         "trials": [dataclasses.asdict(t) for t in trials],
     }

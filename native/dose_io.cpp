@@ -99,6 +99,12 @@ void header_affine(const NiftiHeader& h, float* out12) {
   out12[10] = h.pixdim[3];
 }
 
+// Largest decompressed payload we will accept: the biggest sane volume on
+// this data path is ~16 MB (128³ f64 ≈ 16 MB; even 512³ f64 is 1 GiB), while
+// a crafted gzip bomb inflates ~1000:1 — without a cap it would exhaust
+// memory BEFORE the header/voxel_count validation ever runs.
+constexpr size_t kMaxInflate = size_t(1) << 30;  // 1 GiB
+
 // Inflate a whole gzip file into memory; returns false on error.
 bool gunzip_file(const char* path, std::vector<uint8_t>* out) {
   std::ifstream f(path, std::ios::binary);
@@ -126,6 +132,10 @@ bool gunzip_file(const char* path, std::vector<uint8_t>* out) {
       return false;
     }
     out->insert(out->end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+    if (out->size() > kMaxInflate) {  // gzip bomb: fail before OOM
+      inflateEnd(&zs);
+      return false;
+    }
   } while (ret != Z_STREAM_END);
   inflateEnd(&zs);
   return true;
@@ -212,12 +222,13 @@ int itemsize_of(int16_t datatype) {
   }
 }
 
-// Core single-file load: gunzip → parse → convert to f32 into dst (caller
-// allocated, must hold voxel_count elements). Returns 0 on success.
-int load_volume_f32(const char* path, float* dst, int64_t capacity,
-                    int64_t* shape_out, float* spacing_out) {
-  std::vector<uint8_t> raw;
-  if (!gunzip_file(path, &raw)) return -1;
+// Convert an already-inflated NIfTI byte buffer to f32 into dst (caller
+// allocated, must hold voxel_count elements). Returns 0 on success. Split
+// from the path-taking wrapper so dose_io_load_full inflates ONCE (it needs
+// the raw buffer for the affine as well).
+int load_volume_from_raw(const std::vector<uint8_t>& raw, float* dst,
+                         int64_t capacity, int64_t* shape_out,
+                         float* spacing_out) {
   NiftiHeader h;
   if (!parse_header(raw.data(), raw.size(), &h)) return -2;
   int64_t n = voxel_count(h);
@@ -255,6 +266,14 @@ int load_volume_f32(const char* path, float* dst, int64_t capacity,
   return 0;
 }
 
+// Core single-file load: gunzip → parse → convert. Returns 0 on success.
+int load_volume_f32(const char* path, float* dst, int64_t capacity,
+                    int64_t* shape_out, float* spacing_out) {
+  std::vector<uint8_t> raw;
+  if (!gunzip_file(path, &raw)) return -1;
+  return load_volume_from_raw(raw, dst, capacity, shape_out, spacing_out);
+}
+
 // f32 → bf16, round to nearest even. NaN is handled before the rounding
 // add: letting the mantissa increment carry into an all-ones exponent would
 // turn NaN into ±inf (or, for a full-payload NaN, wrap into -0.0).
@@ -284,8 +303,9 @@ int dose_io_load_full(const char* path, float* dst, int64_t capacity,
   NiftiHeader h;
   if (!parse_header(raw.data(), raw.size(), &h)) return -2;
   header_affine(h, affine12_out);
-  int rc = load_volume_f32(path, dst, capacity, shape_out, spacing_out);
-  return rc;
+  // one inflate serves both the affine and the voxel convert (this is the
+  // real-data full-geometry path; re-reading the file doubled its IO cost)
+  return load_volume_from_raw(raw, dst, capacity, shape_out, spacing_out);
 }
 
 // Read the (i,j,k) shape of a NIfTI file without decoding voxels fully.

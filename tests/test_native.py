@@ -258,3 +258,39 @@ def test_native_seg_augment_all_rot_flip_combos():
                     out[0].view(ml_dtypes.bfloat16).astype(np.float32),
                     rv.astype(ml_dtypes.bfloat16).astype(np.float32),
                     err_msg=f"ct crop={crop} rot={rot_k} flip={flip_mask}")
+
+
+# -- round-5 review fixes ------------------------------------------------------
+
+@needs_native
+def test_native_dose_augment_guards_gt_shape():
+    """Round-5 review fix: the kernel indexes gt with inp's (d,h,w) strides —
+    a rank or spatial mismatch must fall back (None), not read out of
+    bounds."""
+    from dose_prediction_tpu.data.native import augment_dose_bf16
+
+    rng = np.random.default_rng(0)
+    inp = rng.standard_normal((6, 5, 4, 3)).astype(np.float32)
+    ok_gt = rng.standard_normal((6, 5, 4, 2)).astype(np.float32)
+    assert augment_dose_bf16(inp, ok_gt, decisions=(0.0, 0, 0)) is not None
+    # rank-3 gt (the reviewed failure: cg would become W)
+    assert augment_dose_bf16(inp, ok_gt[..., 0],
+                             decisions=(0.0, 0, 0)) is None
+    # spatial mismatch
+    assert augment_dose_bf16(inp, ok_gt[:, :4],
+                             decisions=(0.0, 0, 0)) is None
+
+
+@needs_native
+def test_native_rejects_gzip_bomb(tmp_path):
+    """A crafted gzip inflating far past any sane volume must fail cleanly
+    (bounded memory) instead of inflating toward OOM before header checks."""
+    import gzip
+
+    bomb = tmp_path / "bomb.nii.gz"
+    chunk = bytes(1 << 20)
+    with gzip.open(bomb, "wb", compresslevel=9) as f:
+        for _ in range(1100):           # ~1.1 GiB of zeros, ~1 MB on disk
+            f.write(chunk)
+    assert bomb.stat().st_size < 16 << 20
+    assert read_volume_f32(bomb) is None

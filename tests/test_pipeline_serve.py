@@ -111,3 +111,33 @@ def test_streaming_cascade_matches_serial(tmp_path):
     # the dose result really lives on the second device
     last = pipe.run_one(*[jnp.asarray(a) for a in patients[0]])
     assert list(last.devices()) == [devs[1]]
+
+
+@pytest.mark.slow
+def test_streaming_cascade_dense_seg_mode(tmp_path):
+    """Round-5 review fix: StreamingCascade must forward seg_mode so the
+    validated dense fast path is usable on the throughput-oriented streaming
+    serve too (it was silently locked to 'sliding')."""
+    from dose_prediction_tpu.infer.cascade import make_cascade_fn
+    from dose_prediction_tpu.models import DosePyfer, TranSeg
+
+    seg = TranSeg(out_ch=8, feature_size=2, hidden_size=24, mlp_dim=48,
+                  num_layers=2, num_heads=2)
+    dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32), feature_size=2,
+                     hidden_size=24, mlp_dim=48, num_layers=2, num_heads=2)
+    seg_vars = seg.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, SIZE, 1)))
+    dose_vars = dose.init(jax.random.PRNGKey(1), jnp.zeros((1, SIZE, SIZE, SIZE, 9)))
+    rng = np.random.default_rng(5)
+    ct = jnp.asarray(rng.standard_normal((1, SIZE, SIZE, SIZE, 1)).astype(np.float32))
+    ptv = jnp.asarray((rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.7).astype(np.float32))
+    mask = jnp.asarray((rng.random((1, SIZE, SIZE, SIZE, 1)) > 0.3).astype(np.float32))
+
+    devs = jax.devices()
+    pipe = StreamingCascade(seg, seg_vars, dose, dose_vars,
+                            seg_device=devs[0], dose_device=devs[1],
+                            roi_size=(SIZE, SIZE, SIZE), seg_mode="dense")
+    want = make_cascade_fn(seg, seg_vars, dose, dose_vars,
+                           roi_size=(SIZE, SIZE, SIZE), seg_mode="dense")
+    np.testing.assert_allclose(np.asarray(pipe.run_one(ct, ptv, mask)),
+                               np.asarray(want(ct, ptv, mask)),
+                               rtol=1e-5, atol=1e-5)
