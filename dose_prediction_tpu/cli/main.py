@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -33,22 +34,26 @@ def resolve_optimizer(explicit, model_name) -> str:
 
 
 def default_flagship_model(act="mish", multiS_conv=True, remat_blocks=False,
-                           small=False):
+                           small=False, dtype=None):
     """The DosePyfer the CLI builds for `train pyfer` with bare flags.
     Module-level so scripts/build_train_aot.py and the artifact-spec tests
     construct the EXACT quick-start model (the train-AOT spec gate matches
     on every model field — a drifted copy would make the shipped executables
     silently unreachable). Defaults mirror the reference's tuned config
-    (act='mish', multiS_conv=True, train_light_pyfer.py:293-300)."""
+    (act='mish', multiS_conv=True, train_light_pyfer.py:293-300).
+    ``dtype`` is the serve-path activation dtype (infer --serve-dtype);
+    None keeps the class default."""
     from dose_prediction_tpu.models import DosePyfer
 
+    kw = {"dtype": dtype} if dtype is not None else {}
     if small:
         return DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
                          feature_size=2, hidden_size=24, mlp_dim=48,
                          num_layers=4, num_heads=2, act=act,
-                         multiS_conv=multiS_conv, remat_blocks=remat_blocks)
+                         multiS_conv=multiS_conv, remat_blocks=remat_blocks,
+                         **kw)
     return DosePyfer(act=act, multiS_conv=multiS_conv,
-                     remat_blocks=remat_blocks)
+                     remat_blocks=remat_blocks, **kw)
 
 
 def default_seg_model(out_ch=8, block_family="seg", trained_grid=None,
@@ -68,6 +73,58 @@ def default_seg_model(out_ch=8, block_family="seg", trained_grid=None,
                        **kw)
     return TranSeg(out_ch=out_ch, block_family=block_family,
                    trained_grid=trained_grid, **kw)
+
+
+# model-constructor fields that may legitimately differ between training and
+# evaluation/serving (they change execution, not the learned function)
+_EXEC_ONLY_FIELDS = {"dtype", "remat_blocks", "trained_grid"}
+
+
+def _check_ckpt_config(ckpt_path, *models) -> None:
+    """Eval/serve twin of the train resume guard: training records its
+    graph-determining settings in <ckpt-dir>/run_config.json
+    (core/checkpoint.py); constructing a DIFFERENT architecture over the
+    restored params is invisible to param matching (act changes no shapes)
+    and silently produces wrong predictions/scores. Each given model is
+    checked against the recorded entry of its class; pre-sidecar checkpoints
+    (or import-torch outputs) have no record and skip the check.
+    ``DPT_SKIP_CONFIG_CHECK=1`` overrides."""
+    if os.environ.get("DPT_SKIP_CONFIG_CHECK") == "1":
+        return
+    from dose_prediction_tpu.infer import aot as AOT
+
+    p = Path(ckpt_path)
+    for cand in (p, p.parent):
+        f = cand / "run_config.json"
+        if f.exists():
+            break
+    else:
+        return
+    try:
+        stored = json.loads(f.read_text())
+    except (OSError, ValueError):
+        return
+    recorded = {m.get("model"): m.get("config", {})
+                for m in stored.get("models", [])}
+    for model in models:
+        name = type(model).__name__
+        if name not in recorded:
+            continue
+        want = {k: v for k, v in recorded[name].items()
+                if k not in _EXEC_ONLY_FIELDS}
+        have = {k: v for k, v in AOT.model_spec(model).items()
+                if k not in _EXEC_ONLY_FIELDS}
+        diffs = sorted(k for k in set(want) | set(have)
+                       if want.get(k) != have.get(k))
+        if diffs:
+            detail = ", ".join(f"{k}: trained {want.get(k)!r} vs now "
+                               f"{have.get(k)!r}" for k in diffs)
+            raise SystemExit(
+                f"checkpoint {ckpt_path} was trained with a different {name} "
+                f"configuration — {detail}. The params restore cleanly either "
+                f"way, so continuing would score/serve the WRONG architecture "
+                f"(did a CLI default change, e.g. --act?). Pass the recorded "
+                f"flags, or set DPT_SKIP_CONFIG_CHECK=1 to override.")
 
 
 def _add_common(p: argparse.ArgumentParser):
@@ -158,8 +215,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--delta1", type=float, default=10.0)
     tr.add_argument("--delta2", type=float, default=8.0)
     tr.add_argument("--act", choices=["relu", "mish"], default="mish",
-                    help="exp: generator activation (train_light_exp_models.py"
-                         ":353-363 takes it from the command line)")
+                    help="model activation: pyfer decoder (tuned default "
+                         "mish, train_light_pyfer.py:294) and the exp "
+                         "generators (train_light_exp_models.py:353-363)")
     tr.add_argument("--mode-model", type=int, choices=[0, 1], default=1,
                     help="seg task: 0 = plain MONAI UNETR, 1 = TranSeg "
                          "(train_light_transeg.py:93-124)")
@@ -205,8 +263,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "train_light_c3d.py:245-322)")
     ev.add_argument("--ckpt", required=True)
     ev.add_argument("--act", choices=["relu", "mish"], default="mish",
-                    help="exp: generator activation the checkpoint was "
-                         "trained with")
+                    help="model activation the checkpoint was trained with "
+                         "(pyfer + exp; mismatches against the checkpoint's "
+                         "run_config.json are refused)")
     ev.add_argument("--plots-dir", default=None,
                     help="write per-patient DVH figures + GT/pred/error slice "
                          "triptychs here (train_light_pyfer.py:222-263)")
@@ -426,10 +485,16 @@ def main(argv=None) -> int:
         # host-only conversion — usable with no jax backend at all
         from dose_prediction_tpu.data.openkbp_prepare import prepare_cohort
 
-        spacing = (tuple(float(s) for s in args.assume_spacing.split(","))
-                   if args.assume_spacing else None)
-        if spacing is not None and len(spacing) != 3:
-            raise SystemExit("--assume-spacing wants three values: D,H,W")
+        spacing = None
+        if args.assume_spacing:
+            try:
+                spacing = tuple(float(s) for s in args.assume_spacing.split(","))
+            except ValueError:
+                raise SystemExit("--assume-spacing wants three numbers: D,H,W")
+            if len(spacing) != 3 or any(not (s > 0) for s in spacing):
+                raise SystemExit("--assume-spacing wants three POSITIVE "
+                                 "values: D,H,W (the voxel volume feeds "
+                                 "DVH/D0.1cc)")
         n = prepare_cohort(args.csv_dir, args.out_dir, pattern=args.pattern,
                            ct_offset=args.ct_offset, default_spacing=spacing)
         print(json.dumps({"patients_converted": n, "out_dir": args.out_dir}))
@@ -797,6 +862,10 @@ def main(argv=None) -> int:
         )
 
         tr = build_dose_trainer(model_name, make_cfg(model_name), shape)
+        _check_ckpt_config(args.ckpt,
+                           *([tr.gen, tr.disc]
+                             if model_name in ("dosegan", "vitgan")
+                             else [tr.model]))
         raw = restore_checkpoint(args.ckpt)
         variables = variables_from_checkpoint(raw)
         if model_name in ("dosegan", "vitgan"):
@@ -866,6 +935,7 @@ def main(argv=None) -> int:
             tr = _TST(cfg, model=transeg_model(out_ch=num_classes,
                                                block_family=args.block_family),
                       crop=crop, num_classes=num_classes)
+        _check_ckpt_config(args.ckpt, tr.model)
         variables = variables_from_checkpoint(restore_checkpoint(args.ckpt))
         tr.state = _graft_variables(tr.state, variables, "seg model")
         dice, hd95, val_loss = tr.validate(ds, sw_batch_size=args.sw_batch)
@@ -916,6 +986,8 @@ def main(argv=None) -> int:
                             serve_dtype=getattr(args, "serve_dtype", "float32"),
                             seg_block_family=args.block_family,
                             seg_k7_mode=getattr(args, "k7_mode", "dense"))
+        _check_ckpt_config(args.seg_ckpt, model.seg_model)
+        _check_ckpt_config(args.dose_ckpt, model.dose_model)
         results = model.evaluate(ds, log_dir=args.log_dir,
                                  plots_dir=args.plots_dir,
                                  with_ivs=not args.no_ivs)
@@ -943,12 +1015,13 @@ def main(argv=None) -> int:
                 if args.seg_mode == "dense" else None)
         seg = transeg_model(block_family=args.block_family,
                             trained_grid=grid, dtype=dtype)
-        if getattr(args, "model_size", "full") == "small":
-            dose = DosePyfer(out_ch=1, list_ch_A=(-1, 2, 4, 8, 16, 32),
-                             feature_size=2, hidden_size=24, mlp_dim=48,
-                             num_layers=4, num_heads=2, dtype=dtype)
-        else:
-            dose = DosePyfer(dtype=dtype)
+        # single-construction-path contract: a hand-rolled DosePyfer here
+        # could drift from train/eval's defaults (and from the serve-AOT
+        # build spec), silently serving a different graph
+        dose = default_flagship_model(
+            small=getattr(args, "model_size", "full") == "small", dtype=dtype)
+        _check_ckpt_config(args.seg_ckpt, seg)
+        _check_ckpt_config(args.dose_ckpt, dose)
         seg_vars = variables_from_checkpoint(restore_checkpoint(args.seg_ckpt))
         dose_vars = variables_from_checkpoint(restore_checkpoint(args.dose_ckpt))
         # the shipped AOT sweep was built at roi 96 / sw_batch 8 (bench geometry)
@@ -1004,6 +1077,26 @@ def main(argv=None) -> int:
             trainer.fit(train_ds, val_ds, resume=False, on_validation=on_validation)
             return -trainer.best_val  # minimize dose score
 
+        # pin the settings shared by every trial (NOT searched over) next to
+        # the journal: resuming after a CLI default flip (e.g. the pyfer
+        # optimizer adamw→adam8bit) would otherwise mix trials trained under
+        # different optimizers into one sampler/rung history, making the
+        # reported best_config unreproducible
+        shared = {"optimizer": make_cfg("pyfer").optimizer,
+                  "model_size": getattr(args, "model_size", "full"),
+                  "feed_dtype": getattr(args, "feed_dtype", "float32")}
+        shared_path = Path(args.log_dir) / "tune_config.json"
+        if args.resume and shared_path.exists():
+            prior = json.loads(shared_path.read_text())
+            if prior != shared:
+                raise SystemExit(
+                    f"tune --resume: this search's journaled trials ran with "
+                    f"{prior}, the current invocation would run {shared} — "
+                    f"their scores are not comparable. Relaunch with the "
+                    f"recorded settings (e.g. --optimizer "
+                    f"{prior.get('optimizer')}) or start a fresh --log-dir.")
+        shared_path.parent.mkdir(parents=True, exist_ok=True)
+        shared_path.write_text(json.dumps(shared, indent=2, sort_keys=True))
         scheduler = ASHAScheduler(max_t=max(1, args.epochs // args.check_val),
                                   grace_period=args.grace_period, mode="min")
         res = run_search(train_trial, num_samples=args.num_samples,

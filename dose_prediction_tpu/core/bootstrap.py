@@ -62,7 +62,13 @@ def seed_cache(target: Optional[Path] = None) -> Dict[str, int]:
             if dst.exists():
                 stats["already_present"] += 1
             else:
-                shutil.copyfile(src, dst)
+                # atomic publish: N pod processes (or two concurrent CLI
+                # invocations) may seed the same entry at once, and XLA may
+                # read it mid-copy — write to a per-process temp name and
+                # os.replace (the same pattern jax's own cache uses)
+                tmp = target / f".{src.name}.{os.getpid()}.tmp"
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
                 stats["seeded"] += 1
     return stats
 

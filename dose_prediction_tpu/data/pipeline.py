@@ -324,21 +324,47 @@ def device_prefetch(iterator: Iterator, *, size: int = 2,
             return jax.tree.map(lambda a: jax.device_put(a, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
+    stop = threading.Event()
+
+    def offer(item) -> bool:
+        """put() that gives up when the consumer abandoned the generator —
+        a plain blocking put would pin `size` device-resident batches in HBM
+        forever after an early break (cfg.max_steps, trainers.py)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                if not offer(put(batch)):
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            offer(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # normal exit, consumer break (GeneratorExit via close()/GC), or an
+        # exception in the consumer: release the worker and every staged
+        # device batch so HBM is reclaimable by the rest of the process
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -41,12 +41,25 @@ def trace(log_dir: Optional[str]) -> Iterator[None]:
 
 @contextlib.contextmanager
 def step_annotation(name: str) -> Iterator[None]:
-    """Named sub-span inside a trace (shows up in TensorBoard/XProf)."""
+    """Named sub-span inside a trace (shows up in TensorBoard/XProf).
+
+    Only the ANNOTATION setup may be swallowed — an exception raised in the
+    caller's body must propagate untouched (a catch around the yield would
+    make contextlib see a second yield and replace the real error with
+    "generator didn't stop after throw()")."""
     try:
-        with jax.profiler.StepTraceAnnotation(name):
-            yield
+        ann = jax.profiler.StepTraceAnnotation(name)
+        ann.__enter__()
     except Exception:
+        ann = None  # backends without profiler support still run the body
+    try:
         yield
+    finally:
+        if ann is not None:
+            try:
+                ann.__exit__(None, None, None)
+            except Exception:
+                pass
 
 
 class StepTimer:
