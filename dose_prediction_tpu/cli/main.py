@@ -454,6 +454,24 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("bench", help="run the 128³ cascade latency benchmark")
 
+    dr = sub.add_parser(
+        "doctor",
+        help="deployment health report: versions, backend, native IO, "
+             "compile-cache state, AOT-artifact provenance vs the running "
+             "runtime (stale artifacts otherwise degrade silently into "
+             "minutes-long recompiles), and optional --data sanity")
+    dr.add_argument("--data", default=None,
+                    help="also sanity-check a patient-dir glob (e.g. "
+                         "'/data/train-pats/pt_*')")
+    dr.add_argument("--probe", action="store_true",
+                    help="run a tiny device computation and report its "
+                         "round-trip latency (tunnel health)")
+    dr.add_argument("--json", action="store_true",
+                    help="emit the full machine-readable report instead of "
+                         "the [ok]/[warn] lines")
+    dr.add_argument("--strict", action="store_true",
+                    help="exit 1 when any warning is present (CI gate)")
+
     return ap
 
 
@@ -499,6 +517,12 @@ def main(argv=None) -> int:
                            ct_offset=args.ct_offset, default_spacing=spacing)
         print(json.dumps({"patients_converted": n, "out_dir": args.out_dir}))
         return 0
+
+    if args.cmd == "doctor":
+        # report-only: must not create/seed the compile cache it reports on
+        from dose_prediction_tpu.cli import doctor
+
+        return doctor.run(args)
 
     if args.cmd != "score":
         # every other subcommand compiles XLA programs: enable the persistent
