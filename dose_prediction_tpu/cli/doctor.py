@@ -157,7 +157,52 @@ def _versions() -> Dict[str, str]:
     return out
 
 
-def _backend(probe: bool) -> dict:
+def _subprocess_probe(timeout_s: float, platform: Optional[str]) -> dict:
+    """Probe the device in a SUBPROCESS with a hard deadline. A dead axon
+    tunnel BLOCKS inside a C call holding the GIL (observed hung for hours,
+    docs/ROUND_NOTES.md), so an in-process probe — or even jax.devices() —
+    could hang doctor itself; the subprocess is killable. Mirrors
+    bench._device_watchdog, but returns the device facts on success so the
+    parent process never has to touch the backend at all."""
+    import json as _json
+    import subprocess
+
+    force = (f"import jax; jax.config.update('jax_platforms', '{platform}'); "
+             if platform else "")
+    probe = [sys.executable, "-c",
+             force + "import json, jax, jax.numpy as jnp; "
+             "d = jax.devices(); "
+             "float(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0))); "
+             "print(json.dumps({'platform': d[0].platform, "
+             "'device_count': len(d), "
+             "'device_kinds': sorted({x.device_kind for x in d})}))"]
+    t0 = time.perf_counter()
+    try:
+        out = subprocess.run(probe, check=True, capture_output=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"probe_error": f"device unresponsive: probe did not complete "
+                               f"in {timeout_s:.0f}s (dead or very cold "
+                               f"tunnel; --probe-timeout raises the budget)"}
+    except subprocess.CalledProcessError as e:
+        return {"probe_error": "probe subprocess failed (not a hang): "
+                               + e.stderr.decode(errors="replace")[-300:]}
+    rec = _json.loads(out.stdout.strip().splitlines()[-1])
+    rec["probe_s"] = round(time.perf_counter() - t0, 3)
+    return rec
+
+
+def _backend(probe: bool, *, probe_timeout: float = 600.0,
+             platform: Optional[str] = None) -> dict:
+    if probe:
+        # all device facts come from the killable subprocess; on failure the
+        # parent deliberately reports unknowns rather than risking a hang
+        rec = _subprocess_probe(probe_timeout, platform)
+        if "probe_error" in rec:
+            rec.setdefault("platform", "unknown")
+            rec.setdefault("device_count", 0)
+            rec.setdefault("device_kinds", ["unknown"])
+        return rec
     rec: dict = {}
     try:
         import jax
@@ -168,16 +213,6 @@ def _backend(probe: bool) -> dict:
         rec["device_kinds"] = sorted({d.device_kind for d in devs})
     except Exception as e:
         rec["error"] = f"{type(e).__name__}: {e}"
-        return rec
-    if probe:
-        try:
-            import jax.numpy as jnp
-
-            t0 = time.perf_counter()
-            float(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0)))
-            rec["probe_s"] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            rec["probe_error"] = f"{type(e).__name__}: {e}"
     return rec
 
 
@@ -214,19 +249,24 @@ def _compile_cache() -> dict:
 
 
 def collect_report(*, data: Optional[str] = None, probe: bool = False,
+                   probe_timeout: float = 600.0,
+                   platform: Optional[str] = None,
                    now: Optional[dict] = None) -> dict:
     """Assemble the full report. ``now`` (the running build_info) is
-    injectable for tests; by default it is computed live, which touches
-    jax.devices()."""
+    injectable for tests; by default it is computed live — via jax.devices()
+    in-process, or entirely from the subprocess probe when ``probe`` is set
+    (so a dead tunnel can never hang the report)."""
+    backend = _backend(probe, probe_timeout=probe_timeout, platform=platform)
     report: dict = {
         "versions": _versions(),
-        "backend": _backend(probe),
+        "backend": backend,
         "native_io": _native_io(),
         "compile_cache": _compile_cache(),
     }
     if now is None:
         try:
-            now = A.build_info()
+            kind = backend["device_kinds"][0] if probe else None
+            now = A.build_info(device_kind=kind)
         except Exception as e:
             now = {"error": f"{type(e).__name__}: {e}"}
     report["runtime"] = now
@@ -352,8 +392,11 @@ def render(report: dict) -> Tuple[List[str], int]:
 def run(args) -> int:
     import json
 
+    platform = getattr(args, "platform", "auto")
     report = collect_report(data=getattr(args, "data", None),
-                            probe=getattr(args, "probe", False))
+                            probe=getattr(args, "probe", False),
+                            probe_timeout=getattr(args, "probe_timeout", 600.0),
+                            platform=None if platform == "auto" else platform)
     lines, warns = render(report)
     if getattr(args, "json", False):
         print(json.dumps(report, indent=2, default=str))

@@ -464,8 +464,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also sanity-check a patient-dir glob (e.g. "
                          "'/data/train-pats/pt_*')")
     dr.add_argument("--probe", action="store_true",
-                    help="run a tiny device computation and report its "
-                         "round-trip latency (tunnel health)")
+                    help="run a tiny device computation in a killable "
+                         "subprocess and report its round-trip latency — "
+                         "the hang-safe way to check tunnel health (with "
+                         "--probe doctor never touches the backend "
+                         "in-process)")
+    dr.add_argument("--probe-timeout", type=float, default=600.0,
+                    help="probe budget in seconds before the device is "
+                         "declared unresponsive (default 600; first contact "
+                         "on a fresh tunnel session can take minutes)")
     dr.add_argument("--json", action="store_true",
                     help="emit the full machine-readable report instead of "
                          "the [ok]/[warn] lines")

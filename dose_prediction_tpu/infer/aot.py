@@ -51,16 +51,22 @@ def aot_dir() -> Path:
     return Path(os.environ.get("DPT_AOT_DIR", _DEFAULT_DIR))
 
 
-def build_info() -> dict:
+def build_info(device_kind: Optional[str] = None) -> dict:
     """Versions + chip the CURRENT process would build artifacts against.
     Recorded in every artifact's sidecar at build time, and compared against
-    at load time so a rejection can say exactly WHAT is stale."""
+    at load time so a rejection can say exactly WHAT is stale.
+
+    Pass ``device_kind`` to skip the in-process device query — jax.devices()
+    BLOCKS (not raises) on a dead tunnel, so callers that already learned the
+    chip kind out-of-process (cli/doctor.py's subprocess probe) must not
+    touch the device again here."""
     import jax
 
-    try:
-        device_kind = jax.devices()[0].device_kind
-    except Exception:
-        device_kind = "unknown"
+    if device_kind is None:
+        try:
+            device_kind = jax.devices()[0].device_kind
+        except Exception:
+            device_kind = "unknown"
     libtpu = "none"
     try:
         import importlib.metadata as im

@@ -128,6 +128,41 @@ def test_check_data_pattern(tmp_path):
     assert D.check_data_pattern(str(tmp_path / "nothing*"))["patients"] == 0
 
 
+def test_subprocess_probe_success_on_cpu():
+    """--probe runs the device op in a killable subprocess and returns the
+    device facts, so the parent never touches a possibly-dead backend."""
+    rec = D._subprocess_probe(timeout_s=120.0, platform="cpu")
+    assert "probe_error" not in rec, rec
+    assert rec["platform"] == "cpu" and rec["device_count"] >= 1
+    assert rec["probe_s"] > 0
+
+
+def test_subprocess_probe_hang_and_failure_paths(monkeypatch):
+    """A probe that outlives its budget reports 'unresponsive' (the dead-
+    tunnel signature: blocked in C holding the GIL, only killable from
+    outside); a probe-process FAILURE is labeled distinctly."""
+    # interpreter startup alone exceeds a 50 ms budget → TimeoutExpired path
+    rec = D._subprocess_probe(timeout_s=0.05, platform="cpu")
+    assert "unresponsive" in rec["probe_error"]
+
+    monkeypatch.setattr(D.sys, "executable", "/bin/false")
+    rec = D._subprocess_probe(timeout_s=30.0, platform="cpu")
+    assert "not a hang" in rec["probe_error"]
+
+    # _backend(probe=True) downgrades to unknowns instead of touching jax
+    b = D._backend(True, probe_timeout=0.05, platform="cpu")
+    assert b["platform"] == "unknown" and b["device_count"] == 0
+    lines, warns = D.render({
+        "versions": {"jax": "0.9.0"}, "backend": b,
+        "native_io": {"available": True, "lib": "x", "toolchain_gxx": True},
+        "compile_cache": {"dir": "x", "disabled": True, "exists": False,
+                          "seed_entries_shipped": 0, "seed_entries_present": 0},
+        "serve_aot": {"dir": "x", "disabled": True, "artifacts": {}},
+        "train_aot": {"dir": "x", "disabled": True, "artifacts": {}},
+    })
+    assert any("probe FAILED" in ln for ln in lines) and warns >= 1
+
+
 def test_cli_doctor_end_to_end(tmp_path, monkeypatch, capsys):
     """`doctor --json` runs on the CPU backend and exits 0; `--strict` turns
     an induced warning (empty artifact dirs) into exit 1."""
